@@ -1,0 +1,204 @@
+"""Batched streaming super-k-mer enumerator.
+
+Re-design of the reference SuperKmerEnumerator (Kmers.cpp:509-613): instead
+of one sequential cursor per thread, a batch of B record lanes advances in
+lock-step over L positions with jax.lax.scan. All heavy per-position math
+(window values, candidate hashes, full get_minimizer rescans) is hoisted
+OUT of the scan into the fused data-parallel pipeline; the scan step is a
+handful of selects over (B,) vectors replicating the reference's control
+flow literally:
+
+    mini_pos += 1
+    if mini_pos > k-m:        state = get_minimizer(kmer)      (expiry)
+    elif cand_hash < hash:    state = rolling candidate        (new mini)
+    emit k-mer in fwd or RC orientation per state.reversed
+
+Streaming: records longer than one buffer continue across batches — the
+host keeps the last k-1 bases as a margin and the minimizer state is
+carried (MinimizerState per lane). Fresh lanes are initialized exactly like
+the reference's seq_idx==0 path: get_minimizer over the (k-1)-mer ending at
+position margin-1 (Kmers.cpp:526-534), with the first k-mer's super-k-mer
+boundary suppressed (Kmers.cpp:590-592).
+
+Layout contract for a (B, L_buf) codes buffer with margin = k-1:
+  * fresh lane: record bases start at index 0; bases beyond the record are
+    padding (any value).
+  * continuing lane: indices [0, margin) hold the record's previous k-1
+    bases, new bases start at margin.
+  * valid_end[lane] = index one past the record's last base in this buffer.
+  * emissions happen at positions p in [margin, L_buf); the emission at p
+    is valid iff margin <= p < valid_end (fresh lanes' first k-1 positions
+    never reach p >= margin with p < valid_end unless the record has >= k
+    bases... records shorter than k must not be scheduled by the host).
+"""
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from brisk_tpu.ops import codec, hashing, minimizer, u128
+from brisk_tpu.ops.minimizer import MinimizerState
+
+U32 = jnp.uint32
+
+
+class Emissions(NamedTuple):
+    """Per-position emission records, arrays shaped (B, L_out)."""
+    valid: jnp.ndarray     # bool: real k-mer emitted here
+    boundary: jnp.ndarray  # bool: a super-k-mer ended just before this k-mer
+    use_rc: jnp.ndarray    # bool: emitted in RC orientation
+    mini_idx: jnp.ndarray  # u32: minimizer_idx (suffix length)
+    mini_lo: jnp.ndarray   # u32: canonical minimizer value (2 limbs)
+    mini_hi: jnp.ndarray
+    hash_hi: jnp.ndarray   # u32: mixed 2m-bit minimizer hash (no heavy)
+    hash_lo: jnp.ndarray
+    kmer: jnp.ndarray      # (4, B, L_out) u32: emitted (oriented) k-mer
+    key: jnp.ndarray       # (4, B, L_out) u32: hashed k-mer (slice replaced)
+    bucket: jnp.ndarray    # u32: reduced-minimizer bucket id
+
+
+def zero_carry(batch: int) -> MinimizerState:
+    z = jnp.zeros((batch,), dtype=U32)
+    return MinimizerState(z, z, z, jnp.zeros((batch,), dtype=bool), z, z, z)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b"))
+def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
+                    valid_end: jnp.ndarray, carry: MinimizerState,
+                    k: int, m: int, b: int
+                    ) -> Tuple[Emissions, MinimizerState]:
+    """codes: (B, L_buf) uint32 2-bit codes. Returns emissions for positions
+    [margin, L_buf) and the next carry."""
+    margin = k - 1
+    B, L_buf = codes.shape
+    L_out = L_buf - margin
+
+    pa = minimizer.position_pipeline(codes, k, m)
+    rescan = minimizer.windowed_get_minimizer(pa, pa.fwd_k, k, m)
+
+    # Init state for fresh lanes: get_minimizer over the (k-1)-mer ending at
+    # margin-1 (computed on the margin-wide prefix only).
+    pa_init = minimizer.position_pipeline(codes[:, :margin], k - 1, m)
+    init_full = minimizer.windowed_get_minimizer(
+        pa_init, pa_init.fwd_k, k - 1, m)
+    init = MinimizerState(*(x[:, -1] for x in init_full))
+
+    state0 = MinimizerState(
+        *(jnp.where(fresh, i, c) for i, c in zip(init, carry)))
+
+    def col(x):
+        # (B, L_buf) -> (L_out, B) over the emitting positions
+        return jnp.moveaxis(x[:, margin:], -1, 0)
+
+    xs = dict(
+        heavy=col(pa.cand_hash[0]), hhi=col(pa.cand_hash[1]),
+        hlo=col(pa.cand_hash[2]),
+        c_lo=col(pa.canon_m[0]), c_hi=col(pa.canon_m[1]),
+        is_rc=col(pa.cand_is_rc),
+        r_mini_lo=col(rescan.mini_lo), r_mini_hi=col(rescan.mini_hi),
+        r_pos=col(rescan.pos), r_rev=col(rescan.rev),
+        r_heavy=col(rescan.heavy), r_hhi=col(rescan.hash_hi),
+        r_hlo=col(rescan.hash_lo),
+        t=jnp.arange(L_out, dtype=U32),
+    )
+
+    km = U32(k - m)
+
+    def step(state: MinimizerState, x):
+        pos1 = state.pos + U32(1)
+        expiry = pos1 > km
+        cand_h = (x["heavy"], x["hhi"], x["hlo"])
+        cur_h = (state.heavy, state.hash_hi, state.hash_lo)
+        improve = (~expiry) & hashing.hash_lt(cand_h, cur_h)
+
+        resc = MinimizerState(x["r_mini_lo"], x["r_mini_hi"], x["r_pos"],
+                              x["r_rev"], x["r_heavy"], x["r_hhi"],
+                              x["r_hlo"])
+        roll = MinimizerState(x["c_lo"], x["c_hi"], jnp.zeros_like(pos1),
+                              x["is_rc"], x["heavy"], x["hhi"], x["hlo"])
+        kept = state._replace(pos=pos1)
+        new = MinimizerState(*(
+            jnp.where(expiry, r, jnp.where(improve, c, s))
+            for r, c, s in zip(resc, roll, kept)))
+
+        suppress = (x["t"] == U32(0)) & fresh
+        boundary = (expiry | improve) & (~suppress)
+        out = dict(boundary=boundary, use_rc=new.rev, pos=new.pos,
+                   mini_idx=jnp.where(new.rev, km - new.pos, new.pos),
+                   mini_lo=new.mini_lo, mini_hi=new.mini_hi,
+                   hash_hi=new.hash_hi, hash_lo=new.hash_lo)
+        return new, out
+
+    final_state, ys = jax.lax.scan(step, state0, xs)
+
+    def row(x):
+        return jnp.moveaxis(x, 0, -1)  # (L_out, B) -> (B, L_out)
+
+    pos_idx = jnp.arange(margin, L_buf, dtype=U32)[None, :]
+    valid = pos_idx < valid_end[:, None]
+
+    use_rc = row(ys["use_rc"])
+    mini_idx = row(ys["mini_idx"])
+    hash_hi = row(ys["hash_hi"])
+    hash_lo = row(ys["hash_lo"])
+
+    fwd_k = tuple(l[:, margin:] for l in pa.fwd_k)
+    rc_k = tuple(l[:, margin:] for l in pa.rc_k)
+    kmer = u128.select(use_rc, rc_k, fwd_k)
+
+    # The stored key replaces the minimizer slice of the emitted k-mer by
+    # the hash of the ACTUAL slice (hash_kmer_minimizer_inplace extracts
+    # from the k-mer, Kmers.cpp:191-200) — which can differ from the
+    # tracked minimizer after a truncated rescan (k > 32) or the forced-
+    # strand tie-break. The slice is always the fwd (resp. RC) m-mer ending
+    # at q = p - state.pos, so its hash is a gather from per-position mixed
+    # keys of both orientations (mixer only — the heavy class is masked out
+    # of the written slice and cannot reach the bucket bits).
+    mixf = hashing.mix_key(pa.fwd_m[0], pa.fwd_m[1], m)
+    mixr = hashing.mix_key(pa.rc_m[0], pa.rc_m[1], m)
+    pos_arr = row(ys["pos"])
+    q = (jnp.arange(margin, L_buf, dtype=jnp.int32)[None, :]
+         - pos_arr.astype(jnp.int32))
+    q = jnp.clip(q, 0, L_buf - 1)
+    slice_hi = jnp.where(use_rc,
+                         jnp.take_along_axis(mixr[0], q, axis=-1),
+                         jnp.take_along_axis(mixf[0], q, axis=-1))
+    slice_lo = jnp.where(use_rc,
+                         jnp.take_along_axis(mixr[1], q, axis=-1),
+                         jnp.take_along_axis(mixf[1], q, axis=-1))
+
+    key = _hash_slice_replace(kmer, mini_idx, slice_hi, slice_lo, m)
+    bucket = _bucket_id(slice_hi, slice_lo, m, b)
+
+    em = Emissions(
+        valid=valid, boundary=row(ys["boundary"]), use_rc=use_rc,
+        mini_idx=mini_idx, mini_lo=row(ys["mini_lo"]),
+        mini_hi=row(ys["mini_hi"]), hash_hi=hash_hi, hash_lo=hash_lo,
+        kmer=u128.stack(kmer), key=u128.stack(key), bucket=bucket)
+    return em, final_state
+
+
+def _hash_slice_replace(kmer: u128.Limbs, mini_idx: jnp.ndarray,
+                        hash_hi: jnp.ndarray, hash_lo: jnp.ndarray,
+                        m: int) -> u128.Limbs:
+    """Replace the minimizer slice inside the k-mer by the low 2m bits of
+    its hash (reference hash_kmer_minimizer_inplace, Kmers.cpp:191-200)."""
+    shift = mini_idx * U32(2)
+    zeros = jnp.zeros_like(hash_lo)
+    m_mask4 = u128.mask_bits((~zeros, ~zeros, ~zeros, ~zeros), 2 * m)
+    hole = u128.bnot(u128.shl_var(m_mask4, shift))
+    slice4 = u128.mask_bits((hash_lo, hash_hi, zeros, zeros), 2 * m)
+    return u128.bor(u128.band(kmer, hole), u128.shl_var(slice4, shift))
+
+
+def _bucket_id(hash_hi: jnp.ndarray, hash_lo: jnp.ndarray, m: int, b: int
+               ) -> jnp.ndarray:
+    """Reduced minimizer: drop (m_reduc+1)/2 suffix bases from the hashed
+    minimizer, keep 2b bits (reference Brisk.hpp:135-137). b <= 15."""
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    small = u128.shr(u128.mask_bits((hash_lo, hash_hi), 2 * m),
+                     2 * suffix_reduc)
+    return small[0] & U32((1 << (2 * b)) - 1)

@@ -60,16 +60,27 @@ def _mix32(lo: jnp.ndarray, m: int) -> jnp.ndarray:
     return key
 
 
-def bfc_hash(mmer_lo: jnp.ndarray, mmer_hi: jnp.ndarray, m: int
-             ) -> HashTriple:
-    """Hash of canonical m-mers: returns (heavy, hi, lo) where heavy is the
-    decycling class (2 bits) and (hi, lo) the 2m-bit mixed key."""
-    heavy = decycling.mem_double(mmer_lo, mmer_hi, m)
+def mix_key(mmer_lo: jnp.ndarray, mmer_hi: jnp.ndarray, m: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The 2m-bit mixed key only (no decycling class): this is what gets
+    written into stored k-mers (replace_slice masks to 2m bits, dropping
+    the heavy bits — Kmers.cpp:149-159,191-200) and what bucket ids are
+    derived from (the heavy bits at 62-63 can never reach the 2b bucket
+    bits for b <= 15). Returns (hi, lo)."""
     if m <= 16:
         lo = _mix32(mmer_lo, m)
         hi = jnp.zeros_like(lo)
     else:
         lo, hi = _mix64(mmer_lo, mmer_hi, m)
+    return hi, lo
+
+
+def bfc_hash(mmer_lo: jnp.ndarray, mmer_hi: jnp.ndarray, m: int
+             ) -> HashTriple:
+    """Hash of canonical m-mers: returns (heavy, hi, lo) where heavy is the
+    decycling class (2 bits) and (hi, lo) the 2m-bit mixed key."""
+    heavy = decycling.mem_double(mmer_lo, mmer_hi, m)
+    hi, lo = mix_key(mmer_lo, mmer_hi, m)
     return heavy, hi, lo
 
 

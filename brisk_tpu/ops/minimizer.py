@@ -16,6 +16,7 @@ masked m-mer's canonical form, decycling class and hash inline.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from brisk_tpu.oracle import pyref
@@ -29,6 +30,7 @@ class PositionArrays(NamedTuple):
     fwd_k: u128.Limbs      # 4-limb forward k-mer
     rc_k: u128.Limbs       # 4-limb true-RC k-mer
     fwd_m: u128.Limbs      # 2-limb forward m-mer
+    rc_m: u128.Limbs       # 2-limb true-RC m-mer
     canon_m: u128.Limbs    # 2-limb canonical m-mer (rolling candidate)
     cand_hash: tuple       # (heavy, hi, lo) hash of canon_m
     cand_is_rc: jnp.ndarray  # canon_m == rc_m (rolling `reversed`,
@@ -56,7 +58,7 @@ def position_pipeline(codes: jnp.ndarray, k: int, m: int) -> PositionArrays:
     cand_hash = hashing.bfc_hash(canon_m[0], canon_m[1], m)
     cand_is_rc = u128.eq(canon_m, rc_m)
     scan_rev = ~u128.eq(canon_m, fwd_m)
-    return PositionArrays(fwd_k, rc_k, fwd_m, canon_m, cand_hash,
+    return PositionArrays(fwd_k, rc_k, fwd_m, rc_m, canon_m, cand_hash,
                           cand_is_rc, scan_rev)
 
 
@@ -78,51 +80,68 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
     """Vectorized literal replication of get_minimizer over every position.
 
     kmer4 must hold the k_arg-base window ending at each position (for the
-    init variant this is the (k-1)-mer, reference Kmers.cpp:533)."""
+    init variant this is the (k-1)-mer, reference Kmers.cpp:533).
+
+    Implemented as a fori_loop over window offsets so the traced graph is
+    O(1) in W = k_arg-m+1 (the unrolled form took minutes to compile for
+    k=63). Clean offsets (2*(i+m) <= 64) read the precomputed per-position
+    arrays via dynamic_slice; truncated offsets recompute the masked m-mer
+    canon/class/hash inline inside a lax.cond branch."""
     W = k_arg - m + 1
     canonized = revcomp.canonized_k(kmer4, k_arg)
     heavy, hhi, hlo = pa.cand_hash
+    L = heavy.shape[-1]
+    pad_w = W - 1
 
-    # i = 0 init (always an untruncated window: 2m <= 62 < 64)
-    state = MinimizerState(
+    def padded(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_w, 0)])
+
+    shifted_src = tuple(padded(x) for x in
+                        (heavy, hhi, hlo, pa.canon_m[0], pa.canon_m[1],
+                         pa.scan_rev.astype(U32)))
+    trunc = (kmer4[0], kmer4[1])  # uint64_t cur_seq = seq (Kmers.cpp:371)
+    clean_max = (64 - 2 * m) // 2  # offsets i <= clean_max are untruncated
+
+    def offset_clean(i):
+        out = tuple(
+            jax.lax.dynamic_slice_in_dim(x, pad_w - i, L, axis=-1)
+            for x in shifted_src)
+        return out
+
+    def offset_corrupt(i):
+        mm = u128.mask_bits(u128.shr_var(trunc, U32(2) * i.astype(U32)),
+                            2 * m)
+        c_lo, c_hi = revcomp.canonize64(mm[0], mm[1], m)
+        h = hashing.bfc_hash(c_lo, c_hi, m)
+        rev = ~((c_lo == mm[0]) & (c_hi == mm[1]))
+        return h[0], h[1], h[2], c_lo, c_hi, rev.astype(U32)
+
+    # i = 0 init (always untruncated: 2m <= 62 < 64)
+    state0 = MinimizerState(
         mini_lo=pa.canon_m[0], mini_hi=pa.canon_m[1],
         pos=jnp.zeros_like(hlo), rev=pa.scan_rev,
         heavy=heavy, hash_hi=hhi, hash_lo=hlo)
 
-    z_heavy, z_hi, z_lo = _hash_of_zero(m)
-    trunc = (kmer4[0], kmer4[1])  # uint64_t cur_seq = seq (Kmers.cpp:371)
-
-    for i in range(1, W):
-        if 2 * (i + m) <= 64:
-            # clean window: reuse per-position arrays shifted by i
-            c_lo, c_hi = _shift(pa.canon_m[0], i), _shift(pa.canon_m[1], i)
-            h = (_shift(heavy, i), _shift(hhi, i), _shift(hlo, i))
-            rev_i = _shift(pa.scan_rev, i)
-        elif 2 * i < 64:
-            # truncated window: recompute from the masked 64-bit k-mer
-            mm = u128.mask_bits(u128.shr(trunc, 2 * i), 2 * m)
-            c_lo, c_hi = revcomp.canonize64(mm[0], mm[1], m)
-            h = hashing.bfc_hash(c_lo, c_hi, m)
-            rev_i = ~((c_lo == mm[0]) & (c_hi == mm[1]))
+    def body(i, state):
+        if clean_max >= W - 1:
+            hv, hh, hl, c_lo, c_hi, rev_u = offset_clean(i)
         else:
-            # fully zeroed window: constants
-            c_lo = jnp.zeros_like(hlo)
-            c_hi = jnp.zeros_like(hlo)
-            h = (jnp.full_like(heavy, z_heavy), jnp.full_like(hhi, z_hi),
-                 jnp.full_like(hlo, z_lo))
-            rev_i = jnp.zeros_like(pa.scan_rev)
+            hv, hh, hl, c_lo, c_hi, rev_u = jax.lax.cond(
+                i <= clean_max, offset_clean, offset_corrupt, i)
+        rev_i = rev_u != 0
+        h = (hv, hh, hl)
 
         cur_hash = (state.heavy, state.hash_hi, state.hash_lo)
         lt = hashing.hash_lt(h, cur_hash)
         eq = hashing.hash_eq(h, cur_hash)
-        mirror = U32(W - 1 - i)
+        mirror = U32(W - 1) - i.astype(U32)
         take_closer = eq & (mirror < state.pos)
         take_strand = eq & (mirror == state.pos) & (~canonized)
         take_hash = lt | take_closer          # update incl. hash/rev
         take_any = take_hash | take_strand    # update mini/pos
 
-        new_pos = jnp.where(lt, U32(i), mirror)
-        state = MinimizerState(
+        new_pos = jnp.where(lt, i.astype(U32), mirror)
+        return MinimizerState(
             mini_lo=jnp.where(take_any, c_lo, state.mini_lo),
             mini_hi=jnp.where(take_any, c_hi, state.mini_hi),
             pos=jnp.where(take_any, new_pos, state.pos),
@@ -131,4 +150,5 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
             heavy=jnp.where(take_hash, h[0], state.heavy),
             hash_hi=jnp.where(take_hash, h[1], state.hash_hi),
             hash_lo=jnp.where(take_hash, h[2], state.hash_lo))
-    return state
+
+    return jax.lax.fori_loop(1, W, body, state0)

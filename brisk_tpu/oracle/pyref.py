@@ -250,11 +250,12 @@ class KmerRecord:
     minimizer_idx: int  # suffix length: distance of minimizer from right end
 
 
-def enumerate_superkmers(seq: str, k: int, m: int, dede: DecyclingSet
-                         ) -> Iterator[List[KmerRecord]]:
-    """Yields super-k-mers exactly as the reference enumerator's caller
-    observes them (each yield = one non-empty `next()` result), including
-    the reversed-list emission order for minus-strand minimizers."""
+def scan_emissions(seq: str, k: int, m: int, dede: DecyclingSet
+                   ) -> Iterator[Tuple[KmerRecord, bool, bool]]:
+    """Per-position emissions in scan order: yields (record, boundary,
+    reversed) for each of the len(seq)-k+1 k-mers. `boundary` means a
+    super-k-mer ended just before this k-mer (the reference's to_return
+    with seq_idx>0, Kmers.cpp:585-588)."""
     n = len(seq)
     if n < k:
         return
@@ -269,7 +270,6 @@ def enumerate_superkmers(seq: str, k: int, m: int, dede: DecyclingSet
     mini, mini_pos, reversed_, _ = get_minimizer(kmer, k - 1, m, dede)
     mini_hash = bfc_hash_64(mini, m_mask, dede)
 
-    current: List[KmerRecord] = []
     for seq_idx in range(n - k + 1):
         nuc = nuc2int(seq[k - 1 + seq_idx])
         kmer = ((kmer << 2) | nuc) & k_mask
@@ -291,20 +291,30 @@ def enumerate_superkmers(seq: str, k: int, m: int, dede: DecyclingSet
             mini_pos = 0
             mini = candidate_canon
             reversed_ = candidate_canon == rc_mini_candidate
-        if boundary and seq_idx > 0:
-            if current and current[0].__dict__.get("_rev", False):
-                current.reverse()
-            if current:
-                yield current
-            current = []
         if not reversed_:
             rec = KmerRecord(kmer, mini, mini_pos)
         else:
             rec = KmerRecord(rc_kmer, mini, k - m - mini_pos)
-        rec._rev = reversed_  # type: ignore[attr-defined]
+        yield rec, boundary and seq_idx > 0, reversed_
+
+
+def enumerate_superkmers(seq: str, k: int, m: int, dede: DecyclingSet
+                         ) -> Iterator[List[KmerRecord]]:
+    """Yields super-k-mers exactly as the reference enumerator's caller
+    observes them (each yield = one non-empty `next()` result), including
+    the reversed-list emission order for minus-strand minimizers."""
+    current: List[KmerRecord] = []
+    cur_rev = False
+    for rec, boundary, reversed_ in scan_emissions(seq, k, m, dede):
+        if boundary and current:
+            if cur_rev:
+                current.reverse()
+            yield current
+            current = []
         current.append(rec)
+        cur_rev = reversed_
     if current:
-        if current[0].__dict__.get("_rev", False):
+        if cur_rev:
             current.reverse()
         yield current
 
