@@ -92,6 +92,16 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         # (B, L_buf) -> (L_out, B) over the emitting positions
         return jnp.moveaxis(x[:, margin:], -1, 0)
 
+    # Chunked scan: C positions per lax.scan step with an unrolled inner
+    # loop — the per-iteration overhead of a TPU while-loop (~hundreds of
+    # microseconds) would otherwise dominate at one position per step.
+    C = next(c for c in (16, 8, 4, 2, 1) if L_out % c == 0)
+    n_steps = L_out // C
+
+    def col(x):
+        # (B, L_buf) -> (n_steps, C, B) over the emitting positions
+        return jnp.moveaxis(x[:, margin:], -1, 0).reshape(n_steps, C, -1)
+
     xs = dict(
         heavy=col(pa.cand_hash[0]), hhi=col(pa.cand_hash[1]),
         hlo=col(pa.cand_hash[2]),
@@ -101,12 +111,12 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         r_pos=col(rescan.pos), r_rev=col(rescan.rev),
         r_heavy=col(rescan.heavy), r_hhi=col(rescan.hash_hi),
         r_hlo=col(rescan.hash_lo),
-        t=jnp.arange(L_out, dtype=U32),
+        t=jnp.arange(L_out, dtype=U32).reshape(n_steps, C),
     )
 
     km = U32(k - m)
 
-    def step(state: MinimizerState, x):
+    def one_position(state: MinimizerState, x):
         pos1 = state.pos + U32(1)
         expiry = pos1 > km
         cand_h = (x["heavy"], x["hhi"], x["hlo"])
@@ -125,13 +135,24 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
 
         suppress = (x["t"] == U32(0)) & fresh
         boundary = (expiry | improve) & (~suppress)
-        out = dict(boundary=boundary, use_rc=new.rev, pos=new.pos,
+        out = dict(boundary=boundary, use_rc=new.rev,
                    mini_idx=jnp.where(new.rev, km - new.pos, new.pos),
                    mini_lo=new.mini_lo, mini_hi=new.mini_hi,
                    hash_hi=new.hash_hi, hash_lo=new.hash_lo)
         return new, out
 
+    def step(state: MinimizerState, xc):
+        outs = []
+        for c in range(C):
+            x = {f: v[c] for f, v in xc.items()}
+            state, out = one_position(state, x)
+            outs.append(out)
+        stacked = {f: jnp.stack([o[f] for o in outs])
+                   for f in outs[0]}
+        return state, stacked
+
     final_state, ys = jax.lax.scan(step, state0, xs)
+    ys = {f: v.reshape(L_out, -1) for f, v in ys.items()}
 
     def row(x):
         return jnp.moveaxis(x, 0, -1)  # (L_out, B) -> (B, L_out)
@@ -152,22 +173,11 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
     # the hash of the ACTUAL slice (hash_kmer_minimizer_inplace extracts
     # from the k-mer, Kmers.cpp:191-200) — which can differ from the
     # tracked minimizer after a truncated rescan (k > 32) or the forced-
-    # strand tie-break. The slice is always the fwd (resp. RC) m-mer ending
-    # at q = p - state.pos, so its hash is a gather from per-position mixed
-    # keys of both orientations (mixer only — the heavy class is masked out
+    # strand tie-break. Extract the slice from the emitted k-mer with a
+    # variable shift and mix it (mixer only — the heavy class is masked out
     # of the written slice and cannot reach the bucket bits).
-    mixf = hashing.mix_key(pa.fwd_m[0], pa.fwd_m[1], m)
-    mixr = hashing.mix_key(pa.rc_m[0], pa.rc_m[1], m)
-    pos_arr = row(ys["pos"])
-    q = (jnp.arange(margin, L_buf, dtype=jnp.int32)[None, :]
-         - pos_arr.astype(jnp.int32))
-    q = jnp.clip(q, 0, L_buf - 1)
-    slice_hi = jnp.where(use_rc,
-                         jnp.take_along_axis(mixr[0], q, axis=-1),
-                         jnp.take_along_axis(mixf[0], q, axis=-1))
-    slice_lo = jnp.where(use_rc,
-                         jnp.take_along_axis(mixr[1], q, axis=-1),
-                         jnp.take_along_axis(mixf[1], q, axis=-1))
+    slice_mm = u128.mask_bits(u128.shr_var(kmer, mini_idx * U32(2)), 2 * m)
+    slice_hi, slice_lo = hashing.mix_key(slice_mm[0], slice_mm[1], m)
 
     key = _hash_slice_replace(kmer, mini_idx, slice_hi, slice_lo, m)
     bucket = _bucket_id(slice_hi, slice_lo, m, b)
