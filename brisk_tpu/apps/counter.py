@@ -50,12 +50,12 @@ class Counter:
                 jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
                 self.carry, k=p.k, m=p.m, b=p.b)
             rows, valid = _emissions_to_rows(em)
-            n = bt.n_kmers
-            self.state = store.ensure_room(self.state, n)
+            # ensure_room for RAW log slots (tombstones included)
+            self.state = store.ensure_room(self.state, rows.shape[1])
             self.state = store.append(
                 self.state, rows, jnp.ones(rows.shape[1], dtype=jnp.uint32),
                 valid)
-            self.n_emitted += n
+            self.n_emitted += bt.n_kmers
             self.n_superkmers += int(
                 jnp.sum(em.boundary & em.valid)) + int(
                 jnp.sum(jnp.asarray(bt.fresh) & (jnp.asarray(bt.valid_end) > 0)))

@@ -89,25 +89,20 @@ def _cols_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def append(state: IndexState, keys: jnp.ndarray, values: jnp.ndarray,
            valid: jnp.ndarray) -> IndexState:
-    """Append a batch of (key, value) rows to the unsorted log. Invalid
-    rows are packed out. Caller must ensure capacity (see ensure_room)."""
+    """Append a batch of (key, value) rows to the unsorted log as one
+    contiguous slice write (no gathers/scatters — those dominate on TPU).
+    Invalid rows are written as INVALID tombstones that occupy log slots
+    until the next compact, so ensure_room must be called with the RAW
+    batch width. n_used counts raw slots."""
     n = keys.shape[1]
-    # pack valid entries to the front: stable sort by !valid
-    order = jnp.argsort(~valid, stable=True)
-    keys_p = keys[:, order]
-    vals_p = jnp.where(valid[order], values[order], 0)
-    n_new = jnp.sum(valid).astype(jnp.int32)
-
-    cap = state.keys.shape[1]
-    idx = (state.n_used + jnp.arange(n, dtype=jnp.int32)) % cap
-    row_valid = jnp.arange(n) < n_new
-    keys_w = jnp.where(row_valid[None, :], keys_p,
-                       state.keys[:, idx])
-    data_w = jnp.where(row_valid, vals_p, state.data[idx])
-    new_keys = state.keys.at[:, idx].set(keys_w)
-    new_data = state.data.at[idx].set(data_w)
+    keys_w = jnp.where(valid[None, :], keys, _INVALID)
+    vals_w = jnp.where(valid, values, 0)
+    new_keys = jax.lax.dynamic_update_slice(
+        state.keys, keys_w, (jnp.int32(0), state.n_used))
+    new_data = jax.lax.dynamic_update_slice(
+        state.data, vals_w, (state.n_used,))
     return IndexState(new_keys, new_data, state.n_sorted,
-                      state.n_used + n_new)
+                      state.n_used + n)
 
 
 @jax.jit
@@ -120,22 +115,39 @@ def compact(state: IndexState) -> IndexState:
     keys = jnp.where(in_use[None, :], state.keys, _INVALID)
     data = jnp.where(in_use, state.data, 0)
     keys, (data,) = _lex_sort(keys, data)
-    # segment-sum duplicate runs into their first element. Invalid columns
+    # Duplicate runs collapse into their first column. Invalid columns
     # (all-0xFFFFFFFF; a real bucket is < 4^15) sort to the end as one
-    # trailing segment.
+    # trailing segment. Per-segment totals via difference of inclusive
+    # prefix sums at segment boundaries (no scatter):
+    #   total(seg [a,b]) = csum[b] - (csum[a] - data[a])
     first = ~_cols_eq(keys, jnp.roll(keys, 1, axis=1))
     first = first.at[0].set(True)
     valid = keys[0] != _INVALID
-    seg = jnp.cumsum(first) - 1
-    summed = jax.ops.segment_sum(data, seg, num_segments=cap)
-    # pack the first-of-segment columns to the front, in order: the j-th
-    # packed column is segment j, so `summed` is already aligned
-    order = jnp.argsort(jnp.where(first, jnp.arange(cap), cap))
-    keys_u = keys[:, order]
+    # uint32 wraparound in csum is harmless: segment totals are computed
+    # as differences mod 2^32, which are exact
+    csum = jnp.cumsum(data, dtype=jnp.uint32)
+    # propagate each segment's base to its last column via cummax (bases
+    # are nondecreasing over firsts since csum is nondecreasing)
+    seg_base = jax.lax.cummax(jnp.where(first, csum - data, U32(0)))
+    is_last = jnp.roll(first, -1, axis=0).at[-1].set(True)
+    seg_total = jnp.where(is_last, csum - seg_base, 0)
+    # move each segment's total (sitting at its LAST column) to its FIRST
+    # column: sort totals by segment rank of the last columns, and keys by
+    # segment rank of the first columns — both orderings enumerate
+    # segments 0..n_seg-1, so a single packing sort aligns them.
+    n_seg_ids = jnp.cumsum(first) - 1  # segment rank per column
+    big = jnp.uint32(0x7FFFFFFF)
+    rank_first = jnp.where(first, n_seg_ids.astype(U32), big)
+    rank_last = jnp.where(is_last, n_seg_ids.astype(U32), big)
+    packed = jax.lax.sort((rank_first,) + tuple(keys[i] for i in
+                                                range(NKEY)), num_keys=1)
+    packed_tot = jax.lax.sort((rank_last, seg_total), num_keys=1)
+    keys_u = jnp.stack(packed[1:])
+    data_u = packed_tot[1]
     n_unique = jnp.sum(first & valid).astype(jnp.int32)
     keep = jnp.arange(cap) < n_unique
     keys_final = jnp.where(keep[None, :], keys_u, _INVALID)
-    data_final = jnp.where(keep, summed, 0)
+    data_final = jnp.where(keep, data_u, 0)
     return IndexState(keys_final, data_final, n_unique, n_unique)
 
 

@@ -376,6 +376,17 @@ def count_fasta(path: str, k: int, m: int) -> dict:
     return counts
 
 
+def str2kmer_record(s: str, m: int, dede: DecyclingSet) -> KmerRecord:
+    """Scalar-get keying of a single k-mer string (reference str2kmer,
+    Kmers.cpp:257-268): the FORWARD value with minimizer_idx mirrored when
+    the minimizer is on the minus strand."""
+    kv = str2num(s)
+    k = len(s)
+    mini, pos, rev, _ = get_minimizer(kv, k, m, dede)
+    idx = pos if not rev else k - m - pos
+    return KmerRecord(kv, mini, idx)
+
+
 # ---------------------------------------------------------------------------
 # Index-key oracle: hashed-minimizer k-mer key + bucket id
 # (reference Brisk.hpp:107-111, 133-137; Kmers.cpp:191-200)
