@@ -65,7 +65,8 @@ class BatchPacker:
             any_data = False
             for i, lane in enumerate(lanes):
                 if lane.rest is None and not exhausted:
-                    # pull the next schedulable record
+                    # pull the next schedulable record (ACGT string or a
+                    # pre-encoded uint8 code array from the native parser)
                     while True:
                         try:
                             c = next(chunks)
@@ -73,7 +74,8 @@ class BatchPacker:
                             exhausted = True
                             break
                         if len(c) >= k:
-                            lane.rest = chunk_codes(c)
+                            lane.rest = (chunk_codes(c)
+                                         if isinstance(c, str) else c)
                             lane.tail = None
                             break
                 if lane.rest is None:
@@ -111,5 +113,12 @@ class BatchPacker:
 
 def fasta_batches(path: str, k: int, batch: int, l_new: int
                   ) -> Iterator[Batch]:
+    """Batches from a FASTA file, preferring the native C++ parser (2-bit
+    codes produced off the Python hot path) with a pure-Python fallback."""
+    from brisk_tpu import native
+
     packer = BatchPacker(k, batch, l_new)
+    chunks = native.parse_fasta_codes(path)
+    if chunks is not None:
+        return packer.pack(iter(chunks))
     return packer.pack(pyref.read_fasta_chunks(path))

@@ -1,0 +1,25 @@
+"""KFF export/import round-trip."""
+import pytest
+
+from brisk_tpu.api import Brisk
+from brisk_tpu.io import kff
+from brisk_tpu.params import Parameters
+
+
+@pytest.mark.parametrize("k,m,b", [(31, 11, 8), (63, 21, 14)])
+def test_roundtrip(k, m, b, tmp_path):
+    idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128,
+                capacity=1 << 14)
+    idx.insert_file("data/test.fa")
+    path = str(tmp_path / "index.kff")
+    kff.write_index(path, idx.state, idx.params)
+    counts, rk, rm = kff.read_index(path)
+    assert (rk, rm) == (k, m)
+    assert counts == idx.counts_dict()
+
+
+def test_reject_garbage(tmp_path):
+    p = tmp_path / "bad.kff"
+    p.write_bytes(b"NOT A KFF FILE")
+    with pytest.raises(ValueError):
+        kff.read_index(str(p))
