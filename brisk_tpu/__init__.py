@@ -11,7 +11,24 @@ Count parity contract: byte-exact against the reference `counter` app's
 mode-2 oracle (reference apps/counter.cpp:247-258).
 """
 
-from brisk_tpu.params import Parameters
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: index kernels are recompiled per
+# (batch, window, capacity) shape and TPU compiles are expensive
+# (30-200s); the cache makes repeated runs (tests, bench, driver) warm.
+try:
+    _cache_dir = _os.environ.get(
+        "BRISK_TPU_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "brisk_tpu_jax"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never fatal
+    pass
+
+from brisk_tpu.params import Parameters  # noqa: E402
 
 __all__ = ["Parameters"]
 __version__ = "0.1.0"

@@ -63,16 +63,20 @@ class Brisk:
                                    em.key.reshape(4, -1),
                                    em.mini_idx.reshape(-1))
             valid = em.valid.reshape(-1)
-            self.state = store.ensure_room(self.state, rows.shape[1])
+            # compact-before-grow: tombstone slots are reclaimable, so the
+            # capacity (and its expensive compile) only grows when the
+            # DEDUPED size approaches it
+            raw = rows.shape[1]
+            cap = self.state.keys.shape[1]
+            if int(self.state.n_used) + raw > cap:
+                self.state = store.compact(self.state)
+            self.state = store.ensure_room(self.state, raw)
             self.state = store.append(
                 self.state, rows,
-                jnp.ones(rows.shape[1], dtype=jnp.uint32), valid)
+                jnp.ones(raw, dtype=jnp.uint32), valid)
             self.n_emitted += bt.n_kmers
             self.n_superkmers += int(jnp.sum(em.boundary & em.valid)) + int(
                 np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
-            log = int(self.state.n_used) - int(self.state.n_sorted)
-            if log > max(1 << 20, int(self.state.n_sorted)):
-                self.state = store.compact(self.state)
 
     def insert_file(self, path: str) -> None:
         p = self.params

@@ -11,91 +11,25 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
-from brisk_tpu.index import readout, store
-from brisk_tpu.io import fasta
+from brisk_tpu.api import Brisk
 from brisk_tpu.oracle import pyref
-from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.params import Parameters
 
 
-def _emissions_to_rows(em):
-    """Flatten an Emissions batch into (keys (6, N), valid (N,)) columns."""
-    key = em.key.reshape(4, -1)
-    rows = store.make_keys(em.bucket.reshape(-1), key, em.mini_idx.reshape(-1))
-    return rows, em.valid.reshape(-1)
-
-
-class Counter:
-    """Streaming count pipeline: FASTA -> batched enumerator -> index."""
-
-    def __init__(self, params: Parameters, batch: int = 512,
-                 window: int = 512, capacity: int = 1 << 16):
-        self.params = params
-        self.batch = batch
-        self.window = window
-        self.state = store.empty(capacity)
-        self.carry = enum_ops.zero_carry(batch)
-        self.n_emitted = 0
-        self.n_superkmers = 0
-        self.n_records = 0
+class Counter(Brisk):
+    """The counter demo is the Brisk facade with count semantics
+    (DATA = uint8-wrapping counts, reference apps/counter.cpp)."""
 
     def count_file(self, path: str):
-        p = self.params
-        for bt in fasta.fasta_batches(path, p.k, self.batch, self.window):
-            em, self.carry = enum_ops.enumerate_batch(
-                jnp.asarray(bt.codes, dtype=jnp.uint32),
-                jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
-                self.carry, k=p.k, m=p.m, b=p.b)
-            rows, valid = _emissions_to_rows(em)
-            # ensure_room for RAW log slots (tombstones included)
-            self.state = store.ensure_room(self.state, rows.shape[1])
-            self.state = store.append(
-                self.state, rows, jnp.ones(rows.shape[1], dtype=jnp.uint32),
-                valid)
-            self.n_emitted += bt.n_kmers
-            self.n_superkmers += int(
-                jnp.sum(em.boundary & em.valid)) + int(
-                jnp.sum(jnp.asarray(bt.fresh) & (jnp.asarray(bt.valid_end) > 0)))
-            # compact when the unsorted log dominates
-            if int(self.state.n_used) - int(self.state.n_sorted) > \
-                    max(1 << 20, int(self.state.n_sorted)):
-                self.state = store.compact(self.state)
-        self.state = store.compact(self.state)
-
-    def query_file(self, path: str) -> int:
-        p = self.params
-        total = 0
-        carry = enum_ops.zero_carry(self.batch)
-        for bt in fasta.fasta_batches(path, p.k, self.batch, self.window):
-            em, carry = enum_ops.enumerate_batch(
-                jnp.asarray(bt.codes, dtype=jnp.uint32),
-                jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
-                carry, k=p.k, m=p.m, b=p.b)
-            rows, valid = _emissions_to_rows(em)
-            found, vals = store.lookup(self.state, rows)
-            # stored counts are uint8 in the reference (mod-256 wrap)
-            total += int(jnp.sum(jnp.where(found & valid, vals % 256, 0)))
-        return total
-
-    def counts_dict(self) -> dict:
-        """Aggregated {kmer_value: count mod 256} over index entries."""
-        kmers, counts, _ = readout.entries(self.state, self.params)
-        agg = {}
-        for kv, c in zip(kmers, counts):
-            agg[kv] = (agg.get(kv, 0) + int(c)) % 256
-        return agg
+        self.insert_file(path)
 
     def stats(self):
-        n = int(self.state.n_sorted)
-        buckets = np.asarray(self.state.keys)[0, :n]
-        nb_buckets = len(np.unique(buckets)) if n else 0
-        largest = int(np.bincount(buckets).max()) if n else 0
-        return dict(nb_buckets=nb_buckets, nb_entries=n,
-                    nb_superkmers=self.n_superkmers,
-                    nb_emitted=self.n_emitted, largest_bucket=largest)
+        s = super().stats()
+        return dict(nb_buckets=s["nb_buckets"], nb_entries=s["nb_kmers"],
+                    nb_superkmers=s["nb_superkmers"],
+                    nb_emitted=s["nb_emitted"],
+                    largest_bucket=s["largest_bucket_entries"])
 
 
 def pretty_int(n: int) -> str:

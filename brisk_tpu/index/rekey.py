@@ -27,7 +27,7 @@ from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.ops import hashing, minimizer, u128
 from brisk_tpu.params import Parameters
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 
 
 def _unhash_entries_np(state: store.IndexState, params: Parameters):

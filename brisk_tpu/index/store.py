@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 NKEY = 6
 
 

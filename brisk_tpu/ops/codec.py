@@ -19,10 +19,11 @@ Positions p < window-1 contain garbage and must be masked by callers.
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from brisk_tpu.ops import u128
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 
 
 def encode_ascii(seq_bytes: jnp.ndarray) -> jnp.ndarray:

@@ -29,7 +29,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-F32 = jnp.float32
+F32 = np.float32  # numpy scalar: avoids device-constant embedding at trace time
 
 
 @functools.lru_cache(maxsize=None)

@@ -37,11 +37,12 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from brisk_tpu.ops import codec, hashing, minimizer, u128
 from brisk_tpu.ops.minimizer import MinimizerState
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 
 
 class Emissions(NamedTuple):

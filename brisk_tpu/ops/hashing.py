@@ -17,10 +17,11 @@ in brisk_tpu.oracle.pyref (scalar) and numpy (batch) in index/unhash.
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from brisk_tpu.ops import decycling, u128
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 HashTriple = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (heavy, hi, lo)
 
 

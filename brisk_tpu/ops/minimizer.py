@@ -18,11 +18,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from brisk_tpu.oracle import pyref
 from brisk_tpu.ops import codec, hashing, revcomp, u128
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 
 
 class PositionArrays(NamedTuple):

@@ -14,10 +14,14 @@ Two variants, matching the reference exactly:
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from brisk_tpu.ops import u128
 
-U32 = jnp.uint32
+# numpy scalars, NOT jnp: module-level jnp constants become device arrays
+# that get embedded as jaxpr constants and re-materialized (device->host)
+# at every lowering — catastrophically slow through the axon tunnel.
+U32 = np.uint32
 _C1 = U32(0x0F0F0F0F)
 _C2 = U32(0x33333333)
 _COMP = U32(0xAAAAAAAA)

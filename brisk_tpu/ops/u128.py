@@ -14,8 +14,9 @@ select over limb offsets.
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 Limbs = Tuple[jnp.ndarray, ...]
 
 _M32 = (1 << 32) - 1

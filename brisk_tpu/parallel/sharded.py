@@ -26,13 +26,14 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from brisk_tpu.index import store
 from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.ops.minimizer import MinimizerState
 
-U32 = jnp.uint32
+U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 _INVALID = U32(0xFFFFFFFF)
 
 
