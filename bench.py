@@ -1,9 +1,9 @@
 """Benchmark: single-chip k-mer indexing throughput on real TPU hardware.
 
 Measures the full device pipeline — batched super-k-mer enumeration,
-hashed-key construction, index append, and final compaction — on a
-synthetic random genome at the reference counter's primary config
-(k=31 m=11 b=8, BASELINE.json config 1).
+hashed-key construction, index append (fused multi-batch scan), and final
+compaction — on a synthetic random genome at the reference counter's
+primary config (k=31 m=11 b=8, BASELINE.json config 1).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the reference C++ counter on this host
@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brisk_tpu.index import store
+from brisk_tpu.index import pipeline, store
 from brisk_tpu.ops import enumerate as enum_ops
 
 REF_BASELINE_KMERS_PER_S = 4.43e6  # reference counter, 2 threads (BASELINE.md)
@@ -31,40 +31,33 @@ def main():
     L_buf = margin + L
 
     rng = np.random.default_rng(1234)
-    batches = [jnp.asarray(rng.integers(0, 4, (B, L_buf), dtype=np.uint32))
-               for _ in range(n_batches)]
-    fresh = jnp.zeros((B,), dtype=bool)
-    fresh0 = jnp.ones((B,), dtype=bool)
-    valid_end = jnp.full((B,), L_buf, dtype=jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 4, (n_batches, B, L_buf),
+                                     dtype=np.uint32))
+    fresh = jnp.zeros((n_batches, B), dtype=bool).at[0].set(True)
+    valid_end = jnp.full((n_batches, B), L_buf, dtype=jnp.int32)
 
     total_kmers = B * L * n_batches
-    state = store.empty(1 << 26)  # 67M entries
 
     def run():
-        st = state
+        st = store.empty(1 << 26)  # 67M entries
         carry = enum_ops.zero_carry(B)
-        for i, codes in enumerate(batches):
-            em, carry = enum_ops.enumerate_batch(
-                codes, fresh0 if i == 0 else fresh, valid_end, carry,
-                k=k, m=m, b=b)
-            rows = store.make_keys(em.bucket.reshape(-1),
-                                   em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1))
-            st = store.append(st, rows,
-                              jnp.ones(rows.shape[1], dtype=jnp.uint32),
-                              em.valid.reshape(-1))
-        return store.compact(st)
+        st, carry, _ = pipeline.insert_many(st, carry, codes, fresh,
+                                            valid_end, k=k, m=m, b=b)
+        st = store.compact(st)
+        # On the tunneled TPU runtime block_until_ready returns before
+        # execution finishes; only a data-dependent host readback truly
+        # waits. Fold the state into a scalar and fetch it.
+        return int(st.n_sorted) + int(st.keys[0, 0])
 
-    # warmup (compile)
-    st = run()
-    jax.block_until_ready(st.keys)
+    run()  # warmup (compile)
 
-    t0 = time.time()
-    st = run()
-    jax.block_until_ready(st.keys)
-    elapsed = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
 
-    value = total_kmers / elapsed
+    value = total_kmers / best
     print(json.dumps({
         "metric": "kmers_indexed_per_sec_single_chip_k31",
         "value": round(value),
