@@ -94,6 +94,14 @@ def main(argv=None):
         kff.write_index(args.outfile, counter.state, params)
         print(f"Index written to {args.outfile} (KFF)")
 
+    if args.mode == 1:
+        # perf mode: no host readback of the index beyond what counting
+        # already did (the reference's mode 1 skips verification/output
+        # and only reports timing, counter.cpp:375-404)
+        print(f"kmer / second: "
+              f"{pretty_int(int(counter.n_emitted / elapsed))}")
+        return
+
     s = counter.stats()
     print(f"{pretty_int(s['nb_buckets'])} bucket used "
           f"(/{pretty_int(params.n_buckets)} possible)")

@@ -37,6 +37,15 @@ def insert_many(state: store.IndexState, carry: MinimizerState,
     Returns (state', carry', n_superkmers) where n_superkmers counts
     super-k-mer starts across the stack (boundary emissions plus one per
     fresh non-empty lane, mirroring api.Brisk._insert_batches).
+
+    PRECONDITIONS (callers MUST enforce host-side; inside jit the
+    dynamic_update_slice in store.append clamps out-of-bounds offsets and
+    would silently overwrite the index tail):
+      * capacity: state.n_used + S*B*(L_buf - (k-1)) <= cap — call
+        store.ensure_room(state, S*B*L_out) (and compact first if the
+        deduped size allows) before invoking.
+      * donation: the input `state` buffers are DONATED (donate_argnums)
+        and must not be reused by the caller after this call.
     """
     def step(sc, xs):
         st, cy = sc

@@ -10,7 +10,7 @@ reference (SURVEY §5.4). Here both directions are implemented:
     mirroring the reference counter's DATA), preceded by a 'v' section
     carrying k, m, max, data_size (writer.hpp:77-90).
   * read_index: parses files written by write_index and rebuilds a count
-    dict (and, via api.Brisk.load_kff, a live index re-keyed on device).
+    dict (the reader the reference never had).
 
 Format caveat (documented): the reference's kff_io submodule is EMPTY in
 the snapshot and this environment has no network, so byte-level interop

@@ -11,7 +11,7 @@ TPUs have no float64, so R is evaluated in compensated float32-pair
 two float32s and accumulated with TwoSum. The result carries ~2^-45
 relative error vs the reference's float64 — classification can only
 diverge if the true R lies within ~1e-13 of ±eps, which is validated
-empirically against the float64 oracle (tests/test_decycling.py runs
+empirically against the float64 oracle (tests/test_ops.py runs
 exhaustive small-m and sampled large-m comparisons).
 
 Linear form used here: the reference's computeR consumes the m-mer from
