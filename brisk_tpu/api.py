@@ -30,25 +30,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brisk_tpu.index import readout, store
-from brisk_tpu.io import fasta
+from brisk_tpu.index import pipeline, readout, store
+from brisk_tpu.io import fasta, windows
 from brisk_tpu.oracle import pyref
 from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.params import Parameters
 
 
 class Brisk:
-    """Dynamic k-mer -> count index with batched insert/query."""
+    """Dynamic k-mer -> count index with batched insert/query.
+
+    Insertion runs the fused sequence-parallel pipeline for k <= 32:
+    records are split into overlapping windows (io.windows) spread across
+    all lanes, a stack of `stack` batches is inserted per device program
+    (pipeline.insert_windows), and the rare windows whose warm-up replay
+    failed the re-sync certificate are re-run exactly through the
+    streaming carry path (_repair_window). For k > 32 the streaming
+    BatchPacker path is used (one record per lane)."""
 
     def __init__(self, params: Parameters, batch: int = 512,
-                 window: int = 512, capacity: int = 1 << 16):
+                 window: int = 512, capacity: int = 1 << 16,
+                 stack: int = 8):
         self.params = params
         self.batch = batch
         self.window = window
-        self.state = store.empty(capacity)
+        self.stack = stack
+        self.state = store.empty(capacity, store.key_words(params.k,
+                                                             params.b))
         self._carry = enum_ops.zero_carry(batch)
         self.n_emitted = 0
         self.n_superkmers = 0
+        self.n_repaired_windows = 0
 
     # -- insertion ---------------------------------------------------------
 
@@ -61,7 +73,7 @@ class Brisk:
                 self._carry, k=p.k, m=p.m, b=p.b)
             rows = store.make_keys(em.bucket.reshape(-1),
                                    em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1))
+                                   em.mini_idx.reshape(-1), p.k, p.b)
             valid = em.valid.reshape(-1)
             # compact-before-grow: tombstone slots are reclaimable, so the
             # capacity (and its expensive compile) only grows when the
@@ -69,7 +81,10 @@ class Brisk:
             raw = rows.shape[1]
             cap = self.state.keys.shape[1]
             if int(self.state.n_used) + raw > cap:
-                self.state = store.compact(self.state)
+                self.state = store.compact_auto(self.state, full=False)
+                if int(self.state.n_used) + raw > cap:
+                    # fast mode left duplicate tombstones; reclaim fully
+                    self.state = store.compact_auto(self.state)
             self.state = store.ensure_room(self.state, raw)
             self.state = store.append(
                 self.state, rows,
@@ -78,19 +93,138 @@ class Brisk:
             self.n_superkmers += int(jnp.sum(em.boundary & em.valid)) + int(
                 np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
 
+    def _records(self, path: str):
+        """Record stream (uint8 code arrays or ACGT strings), preferring
+        the native C++ parser."""
+        from brisk_tpu import native
+        chunks = native.parse_fasta_codes(path)
+        if chunks is not None:
+            return iter(chunks)
+        return pyref.read_fasta_chunks(path)
+
     def insert_file(self, path: str) -> None:
         p = self.params
-        self._insert_batches(
-            fasta.fasta_batches(path, p.k, self.batch, self.window))
-        self.state = store.compact(self.state)
+        if p.k <= 32:
+            self._insert_windowed(self._records(path))
+        else:
+            self._insert_batches(
+                fasta.fasta_batches(path, p.k, self.batch, self.window))
+        self.state = store.compact_auto(self.state, full=False)
 
     def insert_sequence(self, seq: str) -> None:
         """Counts every k-mer of one sequence (the declared-but-never-
         defined Brisk::insert_sequence, Brisk.hpp:27 — implemented here)."""
         p = self.params
-        packer = fasta.BatchPacker(p.k, self.batch, self.window)
-        self._insert_batches(packer.pack(iter([seq])))
-        self.state = store.compact(self.state)
+        if p.k <= 32:
+            self._insert_windowed(iter([seq]))
+        else:
+            packer = fasta.BatchPacker(p.k, self.batch, self.window)
+            self._insert_batches(packer.pack(iter([seq])))
+        self.state = store.compact_auto(self.state, full=False)
+
+    # -- fused sequence-parallel insertion (k <= 32) -------------------------
+
+    def _insert_windowed(self, records) -> None:
+        p = self.params
+        packer = windows.WindowPacker(p.k, p.m, self.batch,
+                                      l_out=self.window)
+        self._packer = packer
+        self._prev_tail = None  # (rec, win, end7) of last lane of prev stack
+        S = self.stack
+        pending = []
+        for bt in packer.pack(records):
+            pending.append(bt)
+            if len(pending) == S:
+                self._flush_window_stack(packer, pending)
+                pending = []
+        if pending:
+            B, L_buf = self.batch, packer.l_buf
+            while len(pending) < S:  # pad to the compiled stack shape
+                pending.append(windows.WinBatch(
+                    np.zeros((B, L_buf), np.uint8),
+                    np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
+                    np.full(B, -1, np.int64), np.zeros(B, np.int32)))
+            self._flush_window_stack(packer, pending)
+
+    def _flush_window_stack(self, packer, batches) -> None:
+        p = self.params
+        S, B = len(batches), self.batch
+        codes = np.stack([bt.codes for bt in batches])
+        vs = np.stack([bt.valid_start for bt in batches])
+        ve = np.stack([bt.valid_end for bt in batches])
+        raw = S * B * packer.l_out
+        cap = self.state.keys.shape[1]
+        if int(self.state.n_used) + raw > cap:
+            self.state = store.compact_auto(self.state, full=False)
+            if int(self.state.n_used) + raw > cap:
+                self.state = store.compact_auto(self.state)
+        self.state = store.ensure_room(self.state, raw)
+        self.state, n_sk, n_km, cert, ends = pipeline.insert_windows(
+            self.state, jnp.asarray(codes), jnp.asarray(vs),
+            jnp.asarray(ve), k=p.k, m=p.m, b=p.b)
+        self.n_emitted += int(n_km)
+        self.n_superkmers += int(n_sk) + sum(bt.n_records for bt in batches)
+
+        cert_f = np.asarray(cert).reshape(-1)
+        rec_f = np.concatenate([bt.rec for bt in batches])
+        win_f = np.concatenate([bt.win for bt in batches])
+        ends_f = [np.asarray(x).reshape(S * B) for x in ends]
+        failed = np.nonzero((~cert_f) & (rec_f >= 0))[0]
+        repaired_ends = {}
+
+        def end_of(j):
+            """Exact end state of flat lane j (certified or repaired)."""
+            if j in repaired_ends:
+                return repaired_ends[j]
+            return tuple(e[j] for e in ends_f)
+
+        for j in failed:
+            r, w = int(rec_f[j]), int(win_f[j])
+            assert w > 0, "window 0 is always certified"
+            if j == 0:
+                pr, pw, carry7 = self._prev_tail
+                assert (pr, pw) == (r, w - 1), "stack continuity broken"
+            else:
+                assert rec_f[j - 1] == r and win_f[j - 1] == w - 1
+                carry7 = end_of(j - 1)
+            s, lane = divmod(int(j), B)
+            end7, nk, nsk = self._repair_window(packer, batches[s], lane,
+                                                carry7)
+            repaired_ends[int(j)] = end7
+            self.n_emitted += nk
+            self.n_superkmers += nsk
+            self.n_repaired_windows += 1
+
+        live = np.nonzero(rec_f >= 0)[0]
+        if len(live):
+            j = int(live[-1])
+            self._prev_tail = (int(rec_f[j]), int(win_f[j]), end_of(j))
+
+    def _repair_window(self, packer, bt, lane, carry7):
+        """Exact re-run of one window through the streaming carry path,
+        seeded with the true machine state at the end of the previous
+        window (see io.windows: warm-up re-sync certificate)."""
+        p = self.params
+        warmup = packer.warmup
+        codes1 = jnp.asarray(bt.codes[lane][None, warmup:])
+        carry = enum_ops.MinimizerState(
+            *(jnp.asarray(np.asarray([v])) for v in carry7))
+        ve1 = jnp.asarray([int(bt.valid_end[lane]) - warmup],
+                          dtype=jnp.int32)
+        em, end = enum_ops.enumerate_batch(
+            codes1, jnp.zeros(1, bool), ve1, carry, k=p.k, m=p.m, b=p.b)
+        rows = store.make_keys(em.bucket.reshape(-1), em.key.reshape(4, -1),
+                               em.mini_idx.reshape(-1), p.k, p.b)
+        valid = em.valid.reshape(-1)
+        raw = rows.shape[1]
+        if int(self.state.n_used) + raw > self.state.keys.shape[1]:
+            self.state = store.compact_auto(self.state)
+        self.state = store.ensure_room(self.state, raw)
+        self.state = store.append(self.state, rows,
+                                  jnp.ones(raw, dtype=jnp.uint32), valid)
+        end7 = tuple(np.asarray(x)[0] for x in end)
+        return (end7, int(jnp.sum(valid)),
+                int(jnp.sum(em.boundary & em.valid)))
 
     # -- lookup ------------------------------------------------------------
 
@@ -123,10 +257,8 @@ class Brisk:
         slice_hash = pyref.bfc_hash_64(
             (km.kmer >> (2 * km.minimizer_idx)) & m_mask, m_mask, dede)
         bucket = pyref.bucket_id(slice_hash, p)
-        cols = np.array(
-            [[bucket, (key >> 96) & 0xFFFFFFFF, (key >> 64) & 0xFFFFFFFF,
-          (key >> 32) & 0xFFFFFFFF, key & 0xFFFFFFFF, km.minimizer_idx]],
-            dtype=np.uint32).T
+        cols = store.pack_key_np(bucket, key, km.minimizer_idx,
+                                 p.k, p.b)[:, None]
         found, vals = store.lookup(self.state, jnp.asarray(cols))
         if bool(found[0]):
             return int(vals[0]) % 256
@@ -145,7 +277,7 @@ class Brisk:
                 carry, k=p.k, m=p.m, b=p.b)
             rows = store.make_keys(em.bucket.reshape(-1),
                                    em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1))
+                                   em.mini_idx.reshape(-1), p.k, p.b)
             found, vals = store.lookup(self.state, rows)
             total += int(jnp.sum(
                 jnp.where(found & em.valid.reshape(-1), vals % 256, 0)))
@@ -171,14 +303,25 @@ class Brisk:
     # -- maintenance -------------------------------------------------------
 
     def stats(self) -> dict:
+        p = self.params
         n = int(self.state.n_sorted)
-        buckets = np.asarray(self.state.keys)[0, :n]
-        nb_buckets = int(len(np.unique(buckets))) if n else 0
-        largest = int(np.bincount(buckets).max()) if n else 0
-        return dict(nb_buckets=nb_buckets, nb_kmers=n,
+        counts = np.asarray(self.state.data)[:n]
+        live = counts != 0  # compact_fast leaves zero-data tombstones
+        n_live = int(np.count_nonzero(live))
+        if n_live:
+            keys = np.asarray(self.state.keys)[:, :n][:, live]
+            buckets, _, _, _ = store.unpack_keys_np(keys, p.k, p.b)
+            nb_buckets = int(len(np.unique(buckets)))
+            largest = int(np.bincount(buckets).max())
+        else:
+            nb_buckets = largest = 0
+        key_bytes = self.state.keys.nbytes + self.state.data.nbytes
+        return dict(nb_buckets=nb_buckets, nb_kmers=n_live,
                     nb_superkmers=self.n_superkmers,
                     nb_emitted=self.n_emitted,
-                    largest_bucket_entries=largest)
+                    largest_bucket_entries=largest,
+                    index_bytes=key_bytes,
+                    bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
 
     def reallocate(self) -> None:
         """Grow minimizer/bucket space: m += 2, b += 2, re-key every stored
@@ -194,7 +337,7 @@ class Brisk:
 
     def save(self, path: str) -> None:
         """Native checkpoint: the exact sharded-array state + params."""
-        self.state = store.compact(self.state)
+        self.state = store.compact_auto(self.state, full=False)
         np.savez_compressed(
             path,
             keys=np.asarray(self.state.keys),

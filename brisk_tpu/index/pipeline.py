@@ -54,7 +54,7 @@ def insert_many(state: store.IndexState, carry: MinimizerState,
                                           k=k, m=m, b=b)
         rows = store.make_keys(em.bucket.reshape(-1),
                                em.key.reshape(4, -1),
-                               em.mini_idx.reshape(-1))
+                               em.mini_idx.reshape(-1), k, b)
         valid = em.valid.reshape(-1)
         st = store.append(st, rows,
                           jnp.ones(rows.shape[1], dtype=jnp.uint32), valid)
@@ -65,3 +65,54 @@ def insert_many(state: store.IndexState, carry: MinimizerState,
     (state, carry), n_sks = jax.lax.scan(
         step, (state, carry), (codes, fresh, valid_end))
     return state, carry, jnp.sum(n_sks)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b"), donate_argnums=(0,))
+def insert_windows(state: store.IndexState, codes: jnp.ndarray,
+                   valid_start: jnp.ndarray, valid_end: jnp.ndarray,
+                   k: int, m: int, b: int
+                   ) -> Tuple[store.IndexState, jnp.ndarray, jnp.ndarray]:
+    """Insert a stack of sequence-parallel WINDOW batches (io.windows) in
+    one device program. Unlike insert_many there is NO carry: every lane
+    is an independent window with its own warm-up replay, so the stack is
+    a pure scan over the index state only.
+
+    codes:       (S, B, L_buf) uint8/uint32 2-bit codes
+    valid_start: (S, B) int32   first valid emission position per lane
+    valid_end:   (S, B) int32   one past the last valid position
+
+    Lanes whose warm-up replay failed to re-sync (no unique-window-minimum
+    certificate, see io.windows) contribute NOTHING; their `cert` flag is
+    returned False and the caller must re-run them exactly through the
+    streaming carry path (api.Brisk._repair_windows).
+
+    Returns (state', n_superkmer_boundaries, n_kmers, cert (S, B) bool,
+    end_states MinimizerState of (S, B) leaves — the per-lane machine
+    state at the end of each window buffer, exact for certified lanes and
+    used to seed repairs of their successors). Callers add one super-k-mer
+    per record (window 0's first boundary is suppressed by the fresh-lane
+    rule) and must honor the same capacity/donation preconditions as
+    insert_many (cap >= n_used + S*B*L_out; donated input state).
+    """
+    B = codes.shape[1]
+    fresh = jnp.ones((B,), dtype=bool)
+    zero = enum_ops.zero_carry(B)
+
+    def step(st, xs):
+        codes_i, vs_i, ve_i = xs
+        em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
+                                           k=k, m=m, b=b, valid_start=vs_i)
+        rows = store.make_keys(em.bucket.reshape(-1),
+                               em.key.reshape(4, -1),
+                               em.mini_idx.reshape(-1), k, b)
+        valid = (em.valid & em.cert[:, None]).reshape(-1)
+        st = store.append(st, rows,
+                          jnp.ones(rows.shape[1], dtype=jnp.uint32), valid)
+        n_sk = jnp.sum(em.boundary & em.valid & em.cert[:, None]
+                       ).astype(jnp.int32)
+        n_km = jnp.sum(valid).astype(jnp.int32)
+        return st, (n_sk, n_km, em.cert, end)
+
+    state, (n_sks, n_kms, certs, ends) = jax.lax.scan(
+        step, state, (codes, valid_start, valid_end))
+    return state, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends

@@ -30,37 +30,6 @@ from brisk_tpu.params import Parameters
 U32 = np.uint32  # numpy scalar: avoids device-constant embedding at trace time
 
 
-def _unhash_entries_np(state: store.IndexState, params: Parameters):
-    """Vectorized host un-hash: stored keys -> original k-mer values as
-    (hi, lo) uint64 pairs."""
-    n = int(state.n_sorted)
-    keys = np.asarray(state.keys)[:, :n].astype(np.uint64)
-    data = np.asarray(state.data)[:n]
-    lo = (keys[3] << np.uint64(32)) | keys[4]
-    hi = (keys[1] << np.uint64(32)) | keys[2]
-    idx = keys[5]
-    s = np.uint64(2) * idx
-    m_mask = np.uint64(params.m_mask)
-    with np.errstate(over="ignore"):
-        # variable 128-bit right shift by s (0 <= s <= 2(k-m) < 128)
-        big = s >= np.uint64(64)
-        s1 = np.where(big, s - np.uint64(64), s)
-        lo_sh = np.where(big, hi >> s1,
-                         np.where(s1 == 0, lo,
-                                  (lo >> s1) | (hi << (np.uint64(64) - s1))))
-        slices = lo_sh & m_mask
-        unhashed = readout.bfc_hash_inv_np(slices, params.m_mask)
-        # write the un-hashed slice back
-        delta = (slices ^ unhashed)  # XOR difference within the slice
-        d_lo = np.where(big, np.uint64(0),
-                        np.where(s == 0, delta, delta << s))
-        d_hi = np.where(big, delta << s1,
-                        np.where(s == 0, np.uint64(0),
-                                 delta >> (np.uint64(64) - s)))
-        # s == 64 edge case is the `big` branch with s1 == 0
-        return hi ^ d_hi, lo ^ d_lo, data
-
-
 def _codes_from_values(hi: np.ndarray, lo: np.ndarray, k: int) -> np.ndarray:
     """(N,) u64 pairs -> (N, k) uint32 2-bit codes, leftmost base first."""
     n = hi.shape[0]
@@ -88,16 +57,17 @@ def _rekey_batch(codes: jnp.ndarray, k: int, m: int, b: int):
     s_hi, s_lo = hashing.mix_key(slice_mm[0], slice_mm[1], m)
     key = enum_ops._hash_slice_replace(kmer, idx, s_hi, s_lo, m)
     bucket = enum_ops._bucket_id(s_hi, s_lo, m, b)
-    return store.make_keys(bucket, u128.stack(key), idx)
+    return store.make_keys(bucket, u128.stack(key), idx, k, b)
 
 
 def reindex(state: store.IndexState, old: Parameters, new: Parameters,
             batch: int = 1 << 16) -> store.IndexState:
     """Re-key all entries of a compacted state from `old` to `new`."""
-    state = store.compact(state)
-    hi, lo, data = _unhash_entries_np(state, old)
+    state = store.compact_auto(state)
+    _, hi, lo, _, data = readout.entries_u64(state, old)
     n = hi.shape[0]
-    out = store.empty(max(1 << 10, 1 << int(np.ceil(np.log2(max(n, 1) * 2)))))
+    out = store.empty(max(1 << 10, 1 << int(np.ceil(np.log2(max(n, 1) * 2)))),
+                      store.key_words(new.k, new.b))
     for start in range(0, n, batch):
         end = min(start + batch, n)
         codes = _codes_from_values(hi[start:end], lo[start:end], new.k)
@@ -105,4 +75,4 @@ def reindex(state: store.IndexState, old: Parameters, new: Parameters,
         out = store.ensure_room(out, rows.shape[1])
         out = store.append(out, rows, jnp.asarray(data[start:end]),
                            jnp.ones(rows.shape[1], dtype=bool))
-    return store.compact(out)
+    return store.compact_auto(out)

@@ -51,8 +51,7 @@ def write_index(path: str, state: store.IndexState, params: Parameters
                 ) -> None:
     kmers, counts, _ = readout.entries(state, params)
     n = len(kmers)
-    keys = np.asarray(state.keys)[:, :n]
-    mini_idx = keys[5]
+    _, _, _, mini_idx, _ = readout.entries_u64(state, params)
     m_mask = params.m_mask
     k, m = params.k, params.m
 

@@ -58,6 +58,8 @@ class Emissions(NamedTuple):
     kmer: jnp.ndarray      # (4, B, L_out) u32: emitted (oriented) k-mer
     key: jnp.ndarray       # (4, B, L_out) u32: hashed k-mer (slice replaced)
     bucket: jnp.ndarray    # u32: reduced-minimizer bucket id
+    cert: jnp.ndarray      # (B,) bool: warm-up re-sync certificate (always
+    #                        True outside windowed mode; see io.windows)
 
 
 def zero_carry(batch: int) -> MinimizerState:
@@ -68,16 +70,34 @@ def zero_carry(batch: int) -> MinimizerState:
 @partial(jax.jit, static_argnames=("k", "m", "b"))
 def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
                     valid_end: jnp.ndarray, carry: MinimizerState,
-                    k: int, m: int, b: int
+                    k: int, m: int, b: int,
+                    valid_start: jnp.ndarray = None
                     ) -> Tuple[Emissions, MinimizerState]:
     """codes: (B, L_buf) uint32 2-bit codes. Returns emissions for positions
-    [margin, L_buf) and the next carry."""
+    [margin, L_buf) and the next carry.
+
+    valid_start ((B,) int32, optional): first buffer position whose
+    emission is valid (defaults to margin). Used by the sequence-parallel
+    window packer (io.windows) to mask the warm-up replay region of
+    overlapping windows."""
     margin = k - 1
     B, L_buf = codes.shape
     L_out = L_buf - margin
+    codes = codes.astype(U32)  # accept uint8 input (4x less H2D traffic)
+
+    windowed = valid_start is not None
+    if windowed and k > 32:
+        raise ValueError(
+            "windowed (valid_start) mode requires k <= 32: the reference's "
+            "k>32 truncation quirk (Kmers.cpp:371) makes the rescan hash "
+            "differ from the rolling window minimum, so the warm-up "
+            "re-sync certificate does not hold; use the streaming "
+            "BatchPacker path for k > 32")
 
     pa = minimizer.position_pipeline(codes, k, m)
-    rescan = minimizer.windowed_get_minimizer(pa, pa.fwd_k, k, m)
+    rescan_out = minimizer.windowed_get_minimizer(
+        pa, pa.fwd_k, k, m, with_unique=windowed)
+    rescan, unique = rescan_out if windowed else (rescan_out, None)
 
     # Init state for fresh lanes: get_minimizer over the (k-1)-mer ending at
     # margin-1 (computed on the margin-wide prefix only).
@@ -89,19 +109,23 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
     state0 = MinimizerState(
         *(jnp.where(fresh, i, c) for i, c in zip(init, carry)))
 
-    def col(x):
-        # (B, L_buf) -> (L_out, B) over the emitting positions
-        return jnp.moveaxis(x[:, margin:], -1, 0)
-
     # Chunked scan: C positions per lax.scan step with an unrolled inner
     # loop — the per-iteration overhead of a TPU while-loop (~hundreds of
     # microseconds) would otherwise dominate at one position per step.
-    C = next(c for c in (16, 8, 4, 2, 1) if L_out % c == 0)
-    n_steps = L_out // C
+    # L_out is padded up to a multiple of C (the padded positions run the
+    # state machine on garbage and are discarded; the carry is then
+    # recovered from the last REAL position's outputs).
+    C = 16
+    L_pad = -(-L_out // C) * C
+    n_steps = L_pad // C
+    need_pad = L_pad != L_out
 
     def col(x):
         # (B, L_buf) -> (n_steps, C, B) over the emitting positions
-        return jnp.moveaxis(x[:, margin:], -1, 0).reshape(n_steps, C, -1)
+        x = jnp.moveaxis(x[:, margin:], -1, 0)
+        if need_pad:
+            x = jnp.pad(x, ((0, L_pad - L_out), (0, 0)))
+        return x.reshape(n_steps, C, -1)
 
     xs = dict(
         heavy=col(pa.cand_hash[0]), hhi=col(pa.cand_hash[1]),
@@ -112,7 +136,7 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         r_pos=col(rescan.pos), r_rev=col(rescan.rev),
         r_heavy=col(rescan.heavy), r_hhi=col(rescan.hash_hi),
         r_hlo=col(rescan.hash_lo),
-        t=jnp.arange(L_out, dtype=U32).reshape(n_steps, C),
+        t=jnp.arange(L_pad, dtype=U32).reshape(n_steps, C),
     )
 
     km = U32(k - m)
@@ -140,6 +164,10 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
                    mini_idx=jnp.where(new.rev, km - new.pos, new.pos),
                    mini_lo=new.mini_lo, mini_hi=new.mini_hi,
                    hash_hi=new.hash_hi, hash_lo=new.hash_lo)
+        if need_pad:
+            # extra fields so the carry can be recovered at position
+            # L_out-1 (the scan itself runs on into the padding)
+            out.update(pos=new.pos, heavy=new.heavy)
         return new, out
 
     def step(state: MinimizerState, xc):
@@ -153,13 +181,34 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         return state, stacked
 
     final_state, ys = jax.lax.scan(step, state0, xs)
-    ys = {f: v.reshape(L_out, -1) for f, v in ys.items()}
+    ys = {f: v.reshape(L_pad, -1)[:L_out] for f, v in ys.items()}
+    if need_pad:
+        final_state = MinimizerState(
+            mini_lo=ys["mini_lo"][-1], mini_hi=ys["mini_hi"][-1],
+            pos=ys["pos"][-1], rev=ys["use_rc"][-1],
+            heavy=ys["heavy"][-1], hash_hi=ys["hash_hi"][-1],
+            hash_lo=ys["hash_lo"][-1])
 
     def row(x):
         return jnp.moveaxis(x, 0, -1)  # (L_out, B) -> (B, L_out)
 
     pos_idx = jnp.arange(margin, L_buf, dtype=U32)[None, :]
     valid = pos_idx < valid_end[:, None]
+    if windowed:
+        valid = valid & (pos_idx >= valid_start[:, None].astype(U32))
+        # Re-sync certificate: during the warm-up replay region
+        # [margin, valid_start) both the warm machine and the sequential
+        # machine hold hash == window-min (invariant: the fresh init
+        # covers exactly the window prefix); a position with a UNIQUE
+        # window minimum therefore forces full state agreement, and the
+        # machines stay in lock-step afterwards. Lanes with
+        # valid_start == margin (record starts / window 0) are exact by
+        # construction.
+        replay = pos_idx < valid_start[:, None].astype(U32)
+        cert = jnp.any(unique[:, margin:] & replay, axis=1) | (
+            valid_start == margin)
+    else:
+        cert = jnp.ones((B,), dtype=bool)
 
     use_rc = row(ys["use_rc"])
     mini_idx = row(ys["mini_idx"])
@@ -187,7 +236,8 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         valid=valid, boundary=row(ys["boundary"]), use_rc=use_rc,
         mini_idx=mini_idx, mini_lo=row(ys["mini_lo"]),
         mini_hi=row(ys["mini_hi"]), hash_hi=hash_hi, hash_lo=hash_lo,
-        kmer=u128.stack(kmer), key=u128.stack(key), bucket=bucket)
+        kmer=u128.stack(kmer), key=u128.stack(key), bucket=bucket,
+        cert=cert)
     return em, final_state
 
 

@@ -77,7 +77,7 @@ def _hash_of_zero(m: int):
 
 
 def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
-                           k_arg: int, m: int) -> MinimizerState:
+                           k_arg: int, m: int, with_unique: bool = False):
     """Vectorized literal replication of get_minimizer over every position.
 
     kmer4 must hold the k_arg-base window ending at each position (for the
@@ -87,7 +87,14 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
     O(1) in W = k_arg-m+1 (the unrolled form took minutes to compile for
     k=63). Clean offsets (2*(i+m) <= 64) read the precomputed per-position
     arrays via dynamic_slice; truncated offsets recompute the masked m-mer
-    canon/class/hash inline inside a lax.cond branch."""
+    canon/class/hash inline inside a lax.cond branch.
+
+    with_unique: additionally return a bool array marking positions where
+    the window minimum hash is UNIQUE (exactly one window offset attains
+    it). Used by the sequence-parallel window packer's re-sync certificate
+    (io.windows): at a unique-minimum position the enumerator state is a
+    pure function of the window content. Only meaningful for k_arg <= 32
+    (no truncated offsets)."""
     W = k_arg - m + 1
     canonized = revcomp.canonized_k(kmer4, k_arg)
     heavy, hhi, hlo = pa.cand_hash
@@ -122,8 +129,10 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
         mini_lo=pa.canon_m[0], mini_hi=pa.canon_m[1],
         pos=jnp.zeros_like(hlo), rev=pa.scan_rev,
         heavy=heavy, hash_hi=hhi, hash_lo=hlo)
+    cnt0 = jnp.ones_like(hlo)  # offsets attaining the running min hash
 
-    def body(i, state):
+    def body(i, carry):
+        state, cnt = carry
         if clean_max >= W - 1:
             hv, hh, hl, c_lo, c_hi, rev_u = offset_clean(i)
         else:
@@ -142,7 +151,8 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
         take_any = take_hash | take_strand    # update mini/pos
 
         new_pos = jnp.where(lt, i.astype(U32), mirror)
-        return MinimizerState(
+        cnt = jnp.where(lt, U32(1), jnp.where(eq, cnt + U32(1), cnt))
+        state = MinimizerState(
             mini_lo=jnp.where(take_any, c_lo, state.mini_lo),
             mini_hi=jnp.where(take_any, c_hi, state.mini_hi),
             pos=jnp.where(take_any, new_pos, state.pos),
@@ -151,5 +161,9 @@ def windowed_get_minimizer(pa: PositionArrays, kmer4: u128.Limbs,
             heavy=jnp.where(take_hash, h[0], state.heavy),
             hash_hi=jnp.where(take_hash, h[1], state.hash_hi),
             hash_lo=jnp.where(take_hash, h[2], state.hash_lo))
+        return state, cnt
 
-    return jax.lax.fori_loop(1, W, body, state0)
+    state, cnt = jax.lax.fori_loop(1, W, body, (state0, cnt0))
+    if with_unique:
+        return state, cnt == U32(1)
+    return state

@@ -52,14 +52,15 @@ def make_mesh(n_devices: int) -> Mesh:
     return Mesh(devices, axis_names=("x",))
 
 
-def _route_local(rows: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
-                 cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack (NKEY, N) rows into an (n_shards, cap, NKEY) routing buffer by
-    destination shard (bucket % n_shards). Returns (buffer, n_dropped)."""
-    bucket = rows[0]
+def _route_local(rows: jnp.ndarray, bucket: jnp.ndarray, valid: jnp.ndarray,
+                 n_shards: int, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack (W, N) packed-key rows into an (n_shards, cap, W) routing
+    buffer by destination shard (bucket % n_shards). Returns
+    (buffer, n_dropped)."""
+    W = rows.shape[0]
     n = rows.shape[1]
     dest = jnp.where(valid, bucket % U32(n_shards), U32(n_shards))
-    ops = (dest,) + tuple(rows[i] for i in range(store.NKEY))
+    ops = (dest,) + tuple(rows[i] for i in range(W))
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     dest_s = sorted_ops[0]
     rows_s = jnp.stack(sorted_ops[1:])
@@ -70,10 +71,10 @@ def _route_local(rows: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
     ok = (rank < cap) & (dest_s < U32(n_shards))
     flat = jnp.where(ok, dest_s.astype(jnp.int32) * cap + rank,
                      n_shards * cap)  # out-of-bounds -> dropped
-    buf = jnp.full((n_shards * cap, store.NKEY), _INVALID, dtype=U32)
+    buf = jnp.full((n_shards * cap, W), _INVALID, dtype=U32)
     buf = buf.at[flat].set(rows_s.T, mode="drop")
     n_dropped = jnp.sum((~ok) & (dest_s < U32(n_shards)))
-    return buf.reshape(n_shards, cap, store.NKEY), n_dropped
+    return buf.reshape(n_shards, cap, W), n_dropped
 
 
 @partial(jax.jit,
@@ -87,7 +88,7 @@ def sharded_insert_step(state: store.IndexState, codes: jnp.ndarray,
     """One distributed insert step over mesh axis "x".
 
     Sharded shapes (global):
-      state.keys (n, NKEY, cap), state.data (n, cap), state.n_* (n,)
+      state.keys (n, W, cap), state.data (n, cap), state.n_* (n,)
       codes (B, L_buf) with B = n * B_local; fresh/valid_end (B,)
       carry: MinimizerState of (B,) arrays
     """
@@ -101,17 +102,18 @@ def sharded_insert_step(state: store.IndexState, codes: jnp.ndarray,
             codes, fresh, valid_end, carry, k=k, m=m, b=b)
         key = em.key.reshape(4, -1)
         rows = store.make_keys(em.bucket.reshape(-1), key,
-                               em.mini_idx.reshape(-1))
+                               em.mini_idx.reshape(-1), k, b)
         valid = em.valid.reshape(-1)
 
-        buf, n_dropped = _route_local(rows, valid, n_shards, route_cap)
+        buf, n_dropped = _route_local(rows, em.bucket.reshape(-1), valid,
+                                      n_shards, route_cap)
         routed = jax.lax.all_to_all(buf, "x", split_axis=0, concat_axis=0,
                                     tiled=True)
         # NOTE capacity contract: append consumes n_shards*route_cap RAW
         # log slots per step (tombstones included); callers must compact
         # (sharded_compact) often enough that
         # n_sorted + n_shards*route_cap <= capacity before each step.
-        rcv = routed.reshape(-1, store.NKEY).T
+        rcv = routed.reshape(-1, store.key_words(k, b)).T
         rcv_valid = rcv[0] != _INVALID
         local = store.append(local, rcv,
                              jnp.ones(rcv.shape[1], dtype=U32), rcv_valid)
@@ -157,13 +159,13 @@ def sharded_compact(state: store.IndexState, mesh: Mesh
     return store.IndexState(*out)
 
 
-def sharded_empty(n_shards: int, capacity: int, mesh: Mesh
+def sharded_empty(n_shards: int, capacity: int, mesh: Mesh, nkey: int
                   ) -> store.IndexState:
     """Index state with a leading shard axis, placed sharded on the mesh."""
     sharding = NamedSharding(mesh, P("x"))
     return store.IndexState(
         keys=jax.device_put(
-            jnp.full((n_shards, store.NKEY, capacity), _INVALID, dtype=U32),
+            jnp.full((n_shards, nkey, capacity), _INVALID, dtype=U32),
             sharding),
         data=jax.device_put(jnp.zeros((n_shards, capacity), dtype=U32),
                             sharding),

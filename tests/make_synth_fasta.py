@@ -10,18 +10,9 @@ import sys
 import numpy as np
 
 
-def main():
-    out = sys.argv[1]
-    n = int(sys.argv[2])
-    read_len = 0
-    seed = 1234
-    args = sys.argv[3:]
-    while args:
-        a = args.pop(0)
-        if a == "--reads":
-            read_len = int(args.pop(0))
-        elif a == "--seed":
-            seed = int(args.pop(0))
+def write_synth(out: str, n_bases: int, read_len: int = 0,
+                seed: int = 1234) -> None:
+    n = n_bases
     rng = np.random.default_rng(seed)
     codes = rng.integers(0, 4, size=n, dtype=np.uint8)
     alphabet = np.frombuffer(b"ACTG", dtype=np.uint8)
@@ -39,6 +30,21 @@ def main():
             f.write(">synth\n")
             for j in range(0, n, 80):
                 f.write(seq[j:j + 80] + "\n")
+
+
+def main():
+    out = sys.argv[1]
+    n = int(sys.argv[2])
+    read_len = 0
+    seed = 1234
+    args = sys.argv[3:]
+    while args:
+        a = args.pop(0)
+        if a == "--reads":
+            read_len = int(args.pop(0))
+        elif a == "--seed":
+            seed = int(args.pop(0))
+    write_synth(out, n, read_len, seed)
     print(f"wrote {out}: {n} bases, reads={read_len or 'single contig'}")
 
 

@@ -27,7 +27,8 @@ def test_sharded_count_parity(k, m, b):
     B, l_new = 16, 64
     records = [rand_seq(random.randint(k, 300)) for _ in range(30)]
 
-    state = sharded.sharded_empty(n_dev, 16384, mesh)
+    state = sharded.sharded_empty(n_dev, 16384, mesh,
+                                  store.key_words(k, b))
     carry = enum_ops.zero_carry(B)
     packer = BatchPacker(k, B, l_new)
     total_dropped = 0
@@ -67,7 +68,8 @@ def test_route_overflow_reported():
     k, m, b = 31, 11, 8
     B, l_new = 16, 64
     records = [rand_seq(300) for _ in range(16)]
-    state = sharded.sharded_empty(8, 4096, mesh)
+    state = sharded.sharded_empty(8, 4096, mesh,
+                                  store.key_words(31, 8))
     carry = enum_ops.zero_carry(B)
     packer = BatchPacker(k, B, l_new)
     bt = next(packer.pack(iter(records)))

@@ -1,0 +1,191 @@
+"""Sequence-parallel windowing (io.windows): coverage, bit-exactness of
+windowed emissions vs the sequential scan, and value-level count parity on
+adversarial repeat content."""
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brisk_tpu.index import pipeline, store
+from brisk_tpu.io.windows import WindowPacker, default_warmup
+from brisk_tpu.oracle import pyref
+from brisk_tpu.ops import enumerate as enum_ops
+
+random.seed(99)
+
+FIELDS = ("boundary", "use_rc", "mini_idx", "mini_lo", "mini_hi",
+          "hash_hi", "hash_lo", "bucket")
+
+
+def rand_seq(n):
+    return "".join(random.choice("ACGT") for _ in range(n))
+
+
+def to_codes(seq):
+    raw = np.frombuffer(seq.encode(), dtype=np.uint8)
+    return (raw >> 1) & np.uint8(3)
+
+
+def sequential_emissions(seq, k, m, b):
+    """Whole record in ONE lane (the round-1 streaming semantics already
+    oracle-verified in test_enumerator.py) -> list of per-kmer dicts."""
+    codes = to_codes(seq)[None, :]
+    em, _ = enum_ops.enumerate_batch(
+        jnp.asarray(codes), jnp.ones(1, bool),
+        jnp.asarray([len(seq)], dtype=jnp.int32),
+        enum_ops.zero_carry(1), k=k, m=m, b=b)
+    return collect(em, lane_order=False)
+
+
+def collect(em, lane_order=True):
+    valid = np.asarray(em.valid)
+    fields = {f: np.asarray(getattr(em, f)) for f in FIELDS}
+    kmer = np.asarray(em.kmer)
+    key = np.asarray(em.key)
+    out = []
+    for lane in range(valid.shape[0]):
+        for p in np.nonzero(valid[lane])[0]:
+            d = {f: fields[f][lane, p].item() for f in FIELDS}
+            d["kmer"] = sum(int(kmer[j, lane, p]) << (32 * j)
+                            for j in range(4))
+            d["key"] = sum(int(key[j, lane, p]) << (32 * j)
+                           for j in range(4))
+            out.append(d)
+    return out
+
+
+def windowed_emissions(seq, k, m, b, batch, l_out, warmup=None):
+    packer = WindowPacker(k, m, batch, l_out=l_out, warmup=warmup)
+    out = []
+    for bt in packer.pack(iter([seq])):
+        em, _ = enum_ops.enumerate_batch(
+            jnp.asarray(bt.codes), jnp.ones(batch, bool),
+            jnp.asarray(bt.valid_end), enum_ops.zero_carry(batch),
+            k=k, m=m, b=b, valid_start=jnp.asarray(bt.valid_start))
+        out.extend(collect(em))
+    return out
+
+
+def test_window_coverage():
+    """Every k-mer index of a record is valid in exactly one window."""
+    k, m = 31, 11
+    packer = WindowPacker(k, m, batch=4, l_out=64, warmup=44)
+    for n in (31, 32, 50, 81, 82, 83, 200, 1003):
+        wins, vs, ve = packer.record_windows(np.zeros(n, dtype=np.uint8))
+        covered = []
+        for i in range(len(wins)):
+            # buffer pos p maps to kmer index i*useful + (p - margin)
+            for p in range(vs[i], ve[i]):
+                covered.append(i * packer.useful + p - packer.margin)
+        assert covered == list(range(n - k + 1)), n
+
+
+def test_window_packer_rejects_k_gt_32():
+    """k > 32 breaks the re-sync certificate (reference truncation quirk,
+    Kmers.cpp:371) — the packer must refuse, and Brisk falls back to the
+    streaming path."""
+    with pytest.raises(ValueError):
+        WindowPacker(63, 21, batch=4, l_out=64)
+
+
+@pytest.mark.parametrize("k,m,b", [(31, 11, 8), (21, 9, 6), (15, 7, 5)])
+def test_windowed_bitexact_random(k, m, b):
+    """Windowed emissions == sequential emissions, ALL fields (incl.
+    mini_idx and super-k-mer boundaries), on random records."""
+    seq = rand_seq(3000)
+    exp = sequential_emissions(seq, k, m, b)
+    got = windowed_emissions(seq, k, m, b, batch=4, l_out=112)
+    assert len(got) == len(exp) == len(seq) - k + 1
+    for j, (a, e) in enumerate(zip(got, exp)):
+        assert a == e, f"emission {j} differs: {a} vs {e}"
+
+
+def test_windowed_bitexact_minimal_warmup():
+    """warmup = 2*(k-m+1) is the documented default; check it on several
+    seeds and window sizes."""
+    k, m, b = 31, 11, 8
+    for trial in range(3):
+        seq = rand_seq(900 + 77 * trial)
+        exp = sequential_emissions(seq, k, m, b)
+        for l_out in (48, 80, 160):
+            got = windowed_emissions(seq, k, m, b, batch=3, l_out=l_out)
+            assert got == exp, (trial, l_out)
+
+
+def test_windowed_repeats_cert_and_repair():
+    """Adversarial repeats (duplicate minimizers in one window) can defeat
+    warm-up re-sync; the certificate must flag those windows and the
+    Brisk repair path must make the final counts EXACT anyway."""
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    k, m, b = 31, 11, 8
+    seq = rand_seq(200) + "A" * 300 + rand_seq(100) + "AT" * 151 + \
+        rand_seq(200)
+    br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
+    br.insert_sequence(seq)
+    # repeats long enough to span windows must actually trip the cert
+    assert br.n_repaired_windows > 0
+    exp = {}
+    dede = pyref.DecyclingSet(m)
+    for rec, _, _ in pyref.scan_emissions(seq, k, m, dede):
+        exp[rec.kmer] = (exp.get(rec.kmer, 0) + 1) % 256
+    assert br.counts_dict() == exp
+    assert br.n_emitted == len(seq) - k + 1
+
+
+def test_insert_windows_count_parity():
+    """Fused window-stack insert -> compact -> counts == oracle counts."""
+    k, m, b = 31, 11, 8
+    records = [rand_seq(700), rand_seq(31), rand_seq(1500), rand_seq(64)]
+    packer = WindowPacker(k, m, batch=8, l_out=112)
+    batches = list(packer.pack(iter(records)))
+    S = len(batches)
+    codes = jnp.asarray(np.stack([bt.codes for bt in batches]))
+    vs = jnp.asarray(np.stack([bt.valid_start for bt in batches]))
+    ve = jnp.asarray(np.stack([bt.valid_end for bt in batches]))
+    st = store.empty(1 << 14, store.key_words(k, b))
+    st, n_sk, n_km, cert, _ = pipeline.insert_windows(st, codes, vs, ve,
+                                                      k=k, m=m, b=b)
+    st = store.compact(st)
+    total_kmers = sum(len(r) - k + 1 for r in records)
+    # random data: every window certifies, nothing dropped
+    assert bool(np.all(np.asarray(cert).reshape(-1)[
+        np.concatenate([bt.rec for bt in batches]) >= 0]))
+    assert int(n_km) == total_kmers
+
+    from brisk_tpu.index import readout
+    from brisk_tpu.params import Parameters
+    kmers, counts, _ = readout.entries(st, Parameters(k=k, m=m, b=b))
+    got = {}
+    for kv, c in zip(kmers, counts):
+        got[int(kv)] = (got.get(int(kv), 0) + int(c)) % 256
+    exp = {}
+    dede = pyref.DecyclingSet(m)
+    for seq in records:
+        for rec, _, _ in pyref.scan_emissions(seq, k, m, dede):
+            exp[rec.kmer] = (exp.get(rec.kmer, 0) + 1) % 256
+    assert got == exp
+
+
+def test_brisk_windowed_file_parity():
+    """Brisk.insert_file (windowed product path) == oracle on a multi-
+    record FASTA with a long record."""
+    import os
+    import tempfile
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    k, m, b = 31, 11, 8
+    records = [rand_seq(2000), rand_seq(45), rand_seq(800)]
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        for i, r in enumerate(records):
+            f.write(f">r{i}\n{r}\n")
+        path = f.name
+    try:
+        br = Brisk(Parameters(k=k, m=m, b=b), batch=8, window=112, stack=2)
+        br.insert_file(path)
+        exp = pyref.count_fasta(path, k, m)
+        assert br.counts_dict() == exp
+        assert br.n_emitted == sum(len(r) - k + 1 for r in records)
+    finally:
+        os.unlink(path)
