@@ -50,7 +50,7 @@ class Brisk:
 
     def __init__(self, params: Parameters, batch: int = 512,
                  window: int = 512, capacity: int = 1 << 16,
-                 stack: int = 8):
+                 stack: int = 8, keep_superkmers: bool = True):
         self.params = params
         self.batch = batch
         self.window = window
@@ -61,6 +61,17 @@ class Brisk:
         self.n_emitted = 0
         self.n_superkmers = 0
         self.n_repaired_windows = 0
+        self.keep_superkmers = keep_superkmers
+        self.skl = None
+        if keep_superkmers:
+            from brisk_tpu.index import sklstore
+            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
+            self.skl = sklstore.empty(1 << 14, 1 << 14, nw)
+        # rows kept per lane in the fused skl segmentation; lanes with
+        # more super-k-mers are re-run at full width (rare: avg size is
+        # ~6-12 kmers, overflow needs avg < 4)
+        self.skl_row_cap = max(16, window // 4)
+        self.n_skl_overflows = 0
 
     # -- insertion ---------------------------------------------------------
 
@@ -92,6 +103,17 @@ class Brisk:
             self.n_emitted += bt.n_kmers
             self.n_superkmers += int(jnp.sum(em.boundary & em.valid)) + int(
                 np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
+            if self.keep_superkmers:
+                # super-k-mers split at batch seams (separate rows with
+                # identical k-mer content; counts unaffected)
+                L_out = em.valid.shape[1]
+                margin = p.k - 1
+                pos = jnp.arange(margin, margin + L_out,
+                                 dtype=jnp.uint32)[None, :]
+                first_valid = jnp.broadcast_to(pos == jnp.uint32(margin),
+                                               em.valid.shape)
+                self._append_skl_from_emissions(em, em.valid, first_valid,
+                                                L_out)
 
     def _records(self, path: str):
         """Record stream (uint8 code arrays or ACGT strings), preferring
@@ -159,9 +181,20 @@ class Brisk:
             if int(self.state.n_used) + raw > cap:
                 self.state = store.compact_auto(self.state)
         self.state = store.ensure_room(self.state, raw)
-        self.state, n_sk, n_km, cert, ends = pipeline.insert_windows(
-            self.state, jnp.asarray(codes), jnp.asarray(vs),
-            jnp.asarray(ve), k=p.k, m=p.m, b=p.b)
+        ovf = None
+        if self.keep_superkmers:
+            from brisk_tpu.index import sklstore
+            self.skl = sklstore.ensure_room_compressing(
+                self.skl, S * B * self.skl_row_cap)
+            (self.state, self.skl, n_sk, n_km, cert, ends,
+             ovf) = pipeline.insert_windows_skl(
+                self.state, self.skl, jnp.asarray(codes), jnp.asarray(vs),
+                jnp.asarray(ve), k=p.k, m=p.m, b=p.b,
+                row_cap=self.skl_row_cap)
+        else:
+            self.state, n_sk, n_km, cert, ends = pipeline.insert_windows(
+                self.state, jnp.asarray(codes), jnp.asarray(vs),
+                jnp.asarray(ve), k=p.k, m=p.m, b=p.b)
         self.n_emitted += int(n_km)
         self.n_superkmers += int(n_sk) + sum(bt.n_records for bt in batches)
 
@@ -200,6 +233,47 @@ class Brisk:
             j = int(live[-1])
             self._prev_tail = (int(rec_f[j]), int(win_f[j]), end_of(j))
 
+        # skl segmentation overflow (certified lanes with more super-k-mers
+        # than the fused row budget): rebuild their skl rows at full width
+        if ovf is not None:
+            ovf_f = np.asarray(ovf).reshape(-1)
+            for j in np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]:
+                s, lane = divmod(int(j), B)
+                self._repair_skl_overflow(batches[s], lane)
+                self.n_skl_overflows += 1
+
+    def _append_skl_from_emissions(self, em, valid, first_valid,
+                                   row_cap: int) -> None:
+        """Build + append compacted super-k-mer rows for a (small) repair
+        emission batch at full row width."""
+        from brisk_tpu.index import sklstore
+        p = self.params
+        rb, rm, rn, ovf = sklstore.rows_from_emissions(
+            em.key, em.bucket, em.mini_idx, em.use_rc, valid,
+            first_valid, em.boundary, p.k, p.m, p.b, row_cap)
+        assert not bool(np.any(np.asarray(ovf)))
+        raw = int(np.prod(np.asarray(rb).shape))
+        self.skl = sklstore.ensure_room_compressing(self.skl, raw)
+        self.skl = sklstore.append(self.skl, rb.reshape(-1),
+                                   rm.reshape(-1),
+                                   rn.reshape(rn.shape[0], -1))
+
+    def _repair_skl_overflow(self, bt, lane) -> None:
+        """Re-run one certified lane's skl segmentation at full row width
+        (its per-kmer rows were already inserted by the fused program)."""
+        p = self.params
+        codes1 = jnp.asarray(bt.codes[lane][None, :])
+        vs1 = jnp.asarray([int(bt.valid_start[lane])], dtype=jnp.int32)
+        ve1 = jnp.asarray([int(bt.valid_end[lane])], dtype=jnp.int32)
+        em, _ = enum_ops.enumerate_batch(
+            codes1, jnp.ones(1, bool), ve1, enum_ops.zero_carry(1),
+            k=p.k, m=p.m, b=p.b, valid_start=vs1)
+        L_out = em.valid.shape[1]
+        margin = p.k - 1
+        pos = jnp.arange(margin, margin + L_out, dtype=jnp.uint32)[None, :]
+        first_valid = pos == vs1[:, None].astype(jnp.uint32)
+        self._append_skl_from_emissions(em, em.valid, first_valid, L_out)
+
     def _repair_window(self, packer, bt, lane, carry7):
         """Exact re-run of one window through the streaming carry path,
         seeded with the true machine state at the end of the previous
@@ -222,6 +296,14 @@ class Brisk:
         self.state = store.ensure_room(self.state, raw)
         self.state = store.append(self.state, rows,
                                   jnp.ones(raw, dtype=jnp.uint32), valid)
+        if self.keep_superkmers:
+            L_out = em.valid.shape[1]
+            margin = p.k - 1
+            pos = jnp.arange(margin, margin + L_out,
+                             dtype=jnp.uint32)[None, :]
+            first_valid = pos == jnp.uint32(margin)
+            self._append_skl_from_emissions(em, em.valid, first_valid,
+                                            L_out)
         end7 = tuple(np.asarray(x)[0] for x in end)
         return (end7, int(jnp.sum(valid)),
                 int(jnp.sum(em.boundary & em.valid)))
@@ -323,6 +405,24 @@ class Brisk:
                     index_bytes=key_bytes,
                     bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
 
+    def finalize(self) -> None:
+        """Consolidate the compacted super-k-mer arena (C8): duplicate
+        k-mer counts merge onto one slot, dead rows are dropped, per-slot
+        counts land in the data arena. After this, stats() reports the
+        resident super-k-mer memory footprint and KFF export writes whole
+        super-k-mer blocks."""
+        if self.skl is None:
+            return
+        from brisk_tpu.index import sklstore
+        p = self.params
+        self.skl = sklstore.finalize(self.skl, p.k, p.m, p.b)
+
+    def skl_stats(self) -> Optional[dict]:
+        if self.skl is None:
+            return None
+        from brisk_tpu.index import sklstore
+        return sklstore.stats(self.skl)
+
     def reallocate(self) -> None:
         """Grow minimizer/bucket space: m += 2, b += 2, re-key every stored
         entry under the new minimizer decomposition (reference
@@ -332,12 +432,32 @@ class Brisk:
                                 b=min(self.params.b + 2, 15))
         self.state = rekey.reindex(self.state, self.params, new_params)
         self.params = new_params
+        if self.skl is not None:
+            # super-k-mer grouping is invalid under the new (m, b); rebuild
+            # one size-1 row per entry (the reference's reallocate, walking
+            # its cursor in bucket order, likewise loses genome adjacency)
+            from brisk_tpu.index import sklstore
+            self.skl = sklstore.from_entries(self.state, new_params.k,
+                                             new_params.m, new_params.b)
 
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Native checkpoint: the exact sharded-array state + params."""
+        """Native checkpoint: the exact sharded-array state + params
+        (+ the compacted super-k-mer arena when kept)."""
         self.state = store.compact_auto(self.state, full=False)
+        extra = {}
+        if self.skl is not None:
+            self.finalize()
+            extra = dict(
+                skl_bucket=np.asarray(self.skl.bucket),
+                skl_meta=np.asarray(self.skl.meta),
+                skl_nucs=np.asarray(self.skl.nucs),
+                skl_data=np.asarray(self.skl.data),
+                skl_offs=np.asarray(self.skl.offs),
+                skl_n=np.array([int(self.skl.n_rows),
+                                int(self.skl.n_fin_rows),
+                                int(self.skl.n_fin_kmers)]))
         np.savez_compressed(
             path,
             keys=np.asarray(self.state.keys),
@@ -345,19 +465,32 @@ class Brisk:
             n_sorted=int(self.state.n_sorted),
             n_used=int(self.state.n_used),
             k=self.params.k, m=self.params.m, b=self.params.b,
-            n_emitted=self.n_emitted, n_superkmers=self.n_superkmers)
+            n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
+            **extra)
 
     @classmethod
     def load(cls, path: str, batch: int = 512, window: int = 512
              ) -> "Brisk":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         params = Parameters(k=int(z["k"]), m=int(z["m"]), b=int(z["b"]))
+        has_skl = "skl_bucket" in z
         self = cls(params, batch=batch, window=window,
-                   capacity=z["keys"].shape[1])
+                   capacity=z["keys"].shape[1], keep_superkmers=has_skl)
         self.state = store.IndexState(
             keys=jnp.asarray(z["keys"]), data=jnp.asarray(z["data"]),
             n_sorted=jnp.int32(int(z["n_sorted"])),
             n_used=jnp.int32(int(z["n_used"])))
         self.n_emitted = int(z["n_emitted"])
         self.n_superkmers = int(z["n_superkmers"])
+        if has_skl:
+            from brisk_tpu.index import sklstore
+            nr, nfr, nfk = (int(x) for x in z["skl_n"])
+            self.skl = sklstore.SklState(
+                bucket=jnp.asarray(z["skl_bucket"]),
+                meta=jnp.asarray(z["skl_meta"]),
+                nucs=jnp.asarray(z["skl_nucs"]),
+                data=jnp.asarray(z["skl_data"]),
+                offs=jnp.asarray(z["skl_offs"]),
+                n_rows=jnp.int32(nr), n_fin_rows=jnp.int32(nfr),
+                n_fin_kmers=jnp.int32(nfk))
         return self

@@ -91,8 +91,14 @@ def main(argv=None):
 
     if args.outfile:
         from brisk_tpu.io import kff
-        kff.write_index(args.outfile, counter.state, params)
-        print(f"Index written to {args.outfile} (KFF)")
+        if counter.skl is not None:
+            counter.finalize()
+            kff.write_index_skl(args.outfile, counter.skl, params)
+            print(f"Index written to {args.outfile} "
+                  f"(KFF, super-k-mer blocks)")
+        else:
+            kff.write_index(args.outfile, counter.state, params)
+            print(f"Index written to {args.outfile} (KFF)")
 
     if args.mode == 1:
         # perf mode: no host readback of the index beyond what counting
@@ -115,6 +121,12 @@ def main(argv=None):
         print(f"average superkmer / bucket: "
               f"{s['nb_superkmers'] / s['nb_buckets']:.4f}")
     print(f"Largest bucket :\t{pretty_int(s['largest_bucket'])}")
+    if counter.skl is not None:
+        counter.finalize()
+        ss = counter.skl_stats()
+        print(f"nb superkmer rows: {pretty_int(ss['nb_superkmer_rows'])}")
+        print(f"superkmer arena: {pretty_int(ss['resident_bytes'])} bytes "
+              f"({ss['bytes_per_kmer']:.2f} B/kmer resident)")
 
 
 if __name__ == "__main__":

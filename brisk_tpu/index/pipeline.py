@@ -116,3 +116,60 @@ def insert_windows(state: store.IndexState, codes: jnp.ndarray,
     state, (n_sks, n_kms, certs, ends) = jax.lax.scan(
         step, state, (codes, valid_start, valid_end))
     return state, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap"),
+         donate_argnums=(0, 1))
+def insert_windows_skl(state: store.IndexState, skl: "sklstore.SklState",
+                       codes: jnp.ndarray, valid_start: jnp.ndarray,
+                       valid_end: jnp.ndarray, k: int, m: int, b: int,
+                       row_cap: int):
+    """insert_windows + compacted super-k-mer row construction (C8).
+
+    In the same device program each batch's emissions are additionally
+    segmented into super-k-mers and appended to the skl arena
+    (index.sklstore) as fixed-width rows: up to `row_cap` rows per lane
+    (lanes with more segments are flagged in `skl_overflow` and
+    contribute NO skl rows — callers re-run them at full width through
+    api.Brisk._repair_skl_overflow). Uncertified lanes contribute neither
+    per-kmer rows nor skl rows (repaired exactly later).
+
+    Returns (state', skl', n_sk, n_km, cert, ends, skl_overflow (S, B)).
+    Capacity preconditions extend insert_many's: ALSO
+    skl.n_rows + S*B*row_cap <= skl row capacity. Both input states are
+    donated.
+    """
+    from brisk_tpu.index import sklstore
+
+    S, B, L_buf = codes.shape
+    margin = k - 1
+    L_out = L_buf - margin
+    fresh = jnp.ones((B,), dtype=bool)
+    zero = enum_ops.zero_carry(B)
+    pos_out = jnp.arange(margin, L_buf, dtype=jnp.uint32)[None, :]
+
+    def step(sc, xs):
+        st, sk = sc
+        codes_i, vs_i, ve_i = xs
+        em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
+                                           k=k, m=m, b=b, valid_start=vs_i)
+        rows = store.make_keys(em.bucket.reshape(-1),
+                               em.key.reshape(4, -1),
+                               em.mini_idx.reshape(-1), k, b)
+        ok = em.valid & em.cert[:, None]
+        st = store.append(st, rows,
+                          jnp.ones(rows.shape[1], dtype=jnp.uint32),
+                          ok.reshape(-1))
+        first_valid = pos_out == vs_i[:, None].astype(jnp.uint32)
+        rb, rm, rn, ovf = sklstore.rows_from_emissions(
+            em.key, em.bucket, em.mini_idx, em.use_rc, ok,
+            first_valid, em.boundary, k, m, b, row_cap)
+        sk = sklstore.append(sk, rb.reshape(-1), rm.reshape(-1),
+                             rn.reshape(rn.shape[0], -1))
+        n_sk = jnp.sum(em.boundary & ok).astype(jnp.int32)
+        n_km = jnp.sum(ok).astype(jnp.int32)
+        return (st, sk), (n_sk, n_km, em.cert, end, ovf)
+
+    (state, skl), (n_sks, n_kms, certs, ends, ovfs) = jax.lax.scan(
+        step, (state, skl), (codes, valid_start, valid_end))
+    return state, skl, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, ovfs

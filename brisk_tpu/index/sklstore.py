@@ -1,0 +1,535 @@
+"""Compacted super-k-mer storage — the TPU-native SKL (reference
+SuperKmerLight.hpp:18-122, buckets.hpp:19-58, SURVEY §2 C8).
+
+The reference's space thesis: store each super-k-mer ONCE as
+(k-b) + size - 1 nucleotides (the b bucket bases are implicit in the
+bucket id) plus per-k-mer DATA — ~6 bytes of record + shared arena bytes
+per super-k-mer instead of a full k-mer per row. Here the same record
+becomes fixed-width array columns:
+
+    bucket: u32          reduced-minimizer bucket id (0xFFFFFFFF = dead)
+    meta:   u32          size (kmers, bits 0-7) | mini_idx (bits 8-15)
+    nucs:   (NW, ) u32   compacted super-k-mer value, 2 bits/base, the
+                         LAST base in the low bits (str2num convention)
+
+where mini_idx is the REDUCED suffix length (reference kmer_mini_idx =
+kmer.minimizer_idx + (m_reduc+1)/2, SuperKmerLight.hpp:99) of the LAST
+k-mer, and the nucleotides live in HASHED-minimizer space exactly like
+the reference's storage (hash_kmer_minimizer_inplace before insertion,
+Brisk.hpp:133): k-mer j of a row (j=0 leftmost) is recovered by windowing
+2*(k-b) bits at offset 2*(size-1-j) and re-inserting the 2b bucket bits
+at hole offset h_j = mini_idx - (size-1-j).
+
+Rows are built ON DEVICE during enumeration (segment assembly over
+emission batches, pipeline.insert_windows_skl) and appended to a
+log-structured arena; `finalize` consolidates duplicate k-mer counts
+across rows by EXPANDING rows to per-k-mer packed keys (transiently),
+sorting, and writing run totals back in arena order — each duplicated
+k-mer keeps its count on exactly one (the first) slot, later copies
+becoming zero-count dead slots. Super-k-mers split at window/batch seams
+appear as separate rows (the k-mer content and counts are identical; only
+the grouping differs — the reference's enumerator, scanning sequentially,
+would have joined them).
+
+Resident cost after finalize ~= (8 + 4*NW)/avg_size + 4 bytes per k-mer
+(~7 B at k=31,b=8 with typical ~6-12 k-mers/super-k-mer) vs 16 B/k-mer
+for the packed per-k-mer store and 28 B in round 1.
+"""
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brisk_tpu.index import store
+from brisk_tpu.ops import u128
+
+U32 = np.uint32
+_INVALID = U32(0xFFFFFFFF)
+
+
+def skl_dims(k: int, m: int, b: int) -> Tuple[int, int, int, int]:
+    """(compacted_size, max kmers/skl, max nucleotides, nuc words)."""
+    cs = k - b
+    s_max = 2 * (k - m) + 1
+    nt_max = cs + s_max - 1
+    return cs, s_max, nt_max, -(-(2 * nt_max) // 32)
+
+
+class SklState(NamedTuple):
+    bucket: jnp.ndarray   # (rcap,) u32
+    meta: jnp.ndarray     # (rcap,) u32: size | mini_idx << 8
+    nucs: jnp.ndarray     # (NW, rcap) u32
+    data: jnp.ndarray     # (kcap,) u32 per-slot counts of FINALIZED rows
+    offs: jnp.ndarray     # (rcap,) u32 data offset per finalized row
+    n_rows: jnp.ndarray   # () i32: raw rows used (incl. dead/tombstones)
+    n_fin_rows: jnp.ndarray   # () i32 rows covered by data/offs
+    n_fin_kmers: jnp.ndarray  # () i32 slots covered by data
+
+
+def empty(row_cap: int, kmer_cap: int, nw: int) -> SklState:
+    return SklState(
+        bucket=jnp.full((row_cap,), _INVALID, dtype=U32),
+        meta=jnp.zeros((row_cap,), dtype=U32),
+        nucs=jnp.zeros((nw, row_cap), dtype=U32),
+        data=jnp.zeros((kmer_cap,), dtype=U32),
+        offs=jnp.zeros((row_cap,), dtype=U32),
+        n_rows=jnp.int32(0), n_fin_rows=jnp.int32(0),
+        n_fin_kmers=jnp.int32(0))
+
+
+def grow(state: SklState, row_cap: int, kmer_cap: int) -> SklState:
+    rpad = row_cap - state.bucket.shape[0]
+    kpad = kmer_cap - state.data.shape[0]
+    assert rpad >= 0 and kpad >= 0
+    return SklState(
+        bucket=jnp.pad(state.bucket, (0, rpad),
+                       constant_values=np.uint32(0xFFFFFFFF)),
+        meta=jnp.pad(state.meta, (0, rpad)),
+        nucs=jnp.pad(state.nucs, ((0, 0), (0, rpad))),
+        data=jnp.pad(state.data, (0, kpad)),
+        offs=jnp.pad(state.offs, (0, rpad)),
+        n_rows=state.n_rows, n_fin_rows=state.n_fin_rows,
+        n_fin_kmers=state.n_fin_kmers)
+
+
+def ensure_room(state: SklState, n_rows_incoming: int) -> SklState:
+    rcap = state.bucket.shape[0]
+    target = rcap
+    while int(state.n_rows) + n_rows_incoming > target:
+        target *= 2
+    if target != rcap:
+        state = grow(state, target, state.data.shape[0])
+    return state
+
+
+@jax.jit
+def append(state: SklState, bucket: jnp.ndarray, meta: jnp.ndarray,
+           nucs: jnp.ndarray) -> SklState:
+    """Append (N,) rows at the raw log tail. Dead rows carry
+    bucket == INVALID (they occupy slots until the next finalize).
+    Caller enforces capacity (ensure_room)."""
+    n = bucket.shape[0]
+    new_bucket = jax.lax.dynamic_update_slice(state.bucket, bucket,
+                                              (state.n_rows,))
+    new_meta = jax.lax.dynamic_update_slice(state.meta, meta,
+                                            (state.n_rows,))
+    new_nucs = jax.lax.dynamic_update_slice(state.nucs, nucs,
+                                            (jnp.int32(0), state.n_rows))
+    return state._replace(bucket=new_bucket, meta=new_meta, nucs=new_nucs,
+                          n_rows=state.n_rows + n)
+
+
+# -- emission-batch -> skl rows (device, called inside insert pipelines) --
+
+def _ones_mask_var(nbits: jnp.ndarray, n_limbs: int) -> u128.Limbs:
+    """(1 << nbits) - 1 as limbs (variable nbits)."""
+    ones = tuple(jnp.full(nbits.shape, 0xFFFFFFFF, dtype=U32)
+                 for _ in range(n_limbs))
+    return u128.bnot(u128.shl_var(ones, nbits))
+
+
+def rows_from_emissions(key: jnp.ndarray, bucket: jnp.ndarray,
+                        mini_idx: jnp.ndarray, use_rc: jnp.ndarray,
+                        valid: jnp.ndarray, first_valid: jnp.ndarray,
+                        boundary: jnp.ndarray, k: int, m: int, b: int,
+                        row_cap: int):
+    """Assemble compacted super-k-mer rows from one emission batch.
+
+    key:       (4, B, L) hashed k-mer limbs (em.key)
+    bucket, mini_idx: (B, L) u32; use_rc/valid/boundary: (B, L) bool
+    first_valid: (B, L) bool — position is the lane's first valid emission
+    row_cap:   max rows kept per lane (overflowing lanes are reported and
+               contribute NO rows; callers re-run them at full width)
+
+    Returns (row_bucket (B, row_cap) u32 with INVALID padding,
+             row_meta (B, row_cap), row_nucs (NW, B, row_cap),
+             overflow (B,) bool).
+
+    All segment math is gather-free: positions of segment firsts/lasts
+    come from monotone cummax/cummin over the lane, the variable-length
+    nucleotide assembly is a SEGMENTED suffix-OR (associative_scan) over
+    per-position disjoint bit contributions.
+    """
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    B, L = bucket.shape
+    key4 = u128.unstack(key)
+
+    seg_start = valid & (boundary | first_valid)
+    nxt = lambda x: jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    is_last = valid & (~nxt(valid) | nxt(seg_start))
+
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=U32)[None, :], (B, L))
+    BIG = U32(0x7FFFFFFF)
+    # nearest segment last at/after p; nearest start at/before p
+    last_pos = jax.lax.cummin(jnp.where(is_last, pos, BIG), axis=1,
+                              reverse=True)
+    first_pos = jax.lax.cummax(jnp.where(seg_start, pos, U32(0)), axis=1)
+    d = jnp.where(valid, last_pos - pos, 0)        # last - p
+    j = jnp.where(valid, pos - first_pos, 0)       # p - first
+
+    # hole offset of each kmer (reference kmer_mini_idx)
+    h = mini_idx + U32(suffix_reduc)
+    # compacted kmer: drop b bases at offset h
+    hi_part = u128.shl_var(u128.shr_var(key4, U32(2) * (h + U32(b))),
+                           U32(2) * h)
+    lo_part = u128.band(key4, _ones_mask_var(U32(2) * h, 4))
+    cmp4 = u128.bor(hi_part, lo_part)
+    cmp4 = u128.mask_bits(cmp4, 2 * cs)
+
+    zero = jnp.zeros((B, L), dtype=U32)
+    cN = tuple(cmp4[i] if i < 4 else zero for i in range(nw))
+
+    # disjoint per-position contributions to the segment value
+    # fwd: j==0 -> full C << 2*(len-1) = 2*d ; j>0 -> (C & 3) << 2*d
+    # rev: j==0 -> full C            ; j>0 -> firstbase(C) << 2*(cs-1+j)
+    last_base = tuple((cN[0] & U32(3)) if i == 0 else zero
+                      for i in range(nw))
+    first_base_val = (cmp4[(2 * (cs - 1)) // 32] >>
+                      U32((2 * (cs - 1)) % 32)) & U32(3)
+    first_base = tuple(first_base_val if i == 0 else zero
+                       for i in range(nw))
+
+    fwd_contrib = u128.shl_var(
+        u128.select(j == 0, cN, last_base), U32(2) * d)
+    rev_contrib = u128.select(
+        j == 0, cN,
+        u128.shl_var(first_base, U32(2) * (U32(cs - 1) + j)))
+    contrib = u128.select(use_rc, rev_contrib, fwd_contrib)
+    contrib = tuple(jnp.where(valid, c, 0) for c in contrib)
+
+    # Segmented suffix-OR: agg[p] = OR of contrib over [p, last of p's
+    # segment]. Elements are functions f(x) = v | (r ? 0 : x) with
+    # r = is_seg_last; composition is associative. NOTE on argument order:
+    # with reverse=True, associative_scan feeds the LATER-index aggregate
+    # as the FIRST argument (verified empirically), so the earlier
+    # element is `bb` and its flag gates the absorption.
+    def combine(a, bb):
+        av, af = a
+        bv, bf = bb
+        v = tuple(y | jnp.where(bf, 0, x) for x, y in zip(av, bv))
+        return v, af | bf
+
+    agg, _ = jax.lax.associative_scan(
+        combine, (contrib, is_last), reverse=True, axis=1)
+
+    size = jnp.where(seg_start, d + U32(1), 0)
+    mini_last = jnp.where(use_rc, h, h + d)  # max hole offset in segment
+    meta = size | (mini_last << U32(8))
+
+    # per-lane compression: segment starts to the front, in order
+    n_seg = jnp.sum(seg_start, axis=1).astype(jnp.int32)
+    overflow = n_seg > row_cap
+    keep = seg_start & ~overflow[:, None]
+    sort_key = jnp.where(keep, pos, BIG)
+    row_bucket = jnp.where(keep, bucket, _INVALID)
+    ops = (sort_key, row_bucket, meta) + tuple(agg)
+    out = jax.lax.sort(ops, dimension=1, num_keys=1)
+    row_bucket = out[1][:, :row_cap]
+    row_meta = out[2][:, :row_cap]
+    row_nucs = jnp.stack([o[:, :row_cap] for o in out[3:]])
+    return row_bucket, row_meta, row_nucs, overflow
+
+
+@jax.jit
+def _compress(bucket, meta, nucs, n_fin_rows):
+    """Stable-partition live rows to the front (fresh tombstones from the
+    fixed-width appends go to the back). The finalized prefix contains no
+    tombstones (finalize drops dead rows), so offs stay valid."""
+    n = bucket.shape[0]
+    tomb = bucket == _INVALID
+    key = jnp.where(tomb, U32(0xFFFFFFFF), jnp.arange(n, dtype=U32))
+    nw = nucs.shape[0]
+    ops = (key, bucket, meta) + tuple(nucs[i] for i in range(nw))
+    out = jax.lax.sort(ops, num_keys=1)
+    n_live = jnp.sum(~tomb).astype(jnp.int32)
+    return out[1], out[2], jnp.stack(out[3:]), n_live
+
+
+def compress_rows(state: SklState) -> SklState:
+    """Host wrapper: reclaim tombstone rows (pow2-prefix sort)."""
+    n = int(state.n_rows)
+    rcap = state.bucket.shape[0]
+    n2 = min(rcap, 1 << max(10, (max(n, 1) - 1).bit_length()))
+    bucket, meta, nucs, n_live = _compress(
+        state.bucket[:n2], state.meta[:n2], state.nucs[:, :n2],
+        state.n_fin_rows)
+    new_bucket = jax.lax.dynamic_update_slice(state.bucket, bucket, (0,))
+    new_meta = jax.lax.dynamic_update_slice(state.meta, meta, (0,))
+    new_nucs = jax.lax.dynamic_update_slice(state.nucs, nucs,
+                                            (jnp.int32(0), jnp.int32(0)))
+    return state._replace(bucket=new_bucket, meta=new_meta, nucs=new_nucs,
+                          n_rows=n_live)
+
+
+def ensure_room_compressing(state: SklState, n_incoming: int) -> SklState:
+    """compact-before-grow for the skl arena: reclaim tombstones first,
+    grow only if live rows still don't fit."""
+    rcap = state.bucket.shape[0]
+    if int(state.n_rows) + n_incoming > rcap:
+        state = compress_rows(state)
+    return ensure_room(state, n_incoming)
+
+
+# -- finalize: consolidate duplicate kmer counts, drop dead rows ---------
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
+def _expand_chunk(bucket, meta, nucs, base_count,
+                  k: int, m: int, b: int, s_max: int):
+    """Expand (R,) rows into (R*s_max,) per-kmer packed keys + counts.
+
+    base_count: (R, s_max) u32 counts per slot (callers gather from data
+    for finalized rows; 1 for fresh rows). Returns (keys (W, R*s_max),
+    cnt, valid) flattened in row-major slot order."""
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    cs, _, _, nw = skl_dims(k, m, b)
+    size = meta & U32(0xFF)
+    mini = (meta >> U32(8)) & U32(0xFF)
+    live = bucket != _INVALID
+    zero = jnp.zeros_like(bucket)
+
+    nucs_t = tuple(nucs[i] if i < nucs.shape[0] else zero
+                   for i in range(max(nw, 4)))
+
+    keys_all, cnt_all, val_all = [], [], []
+    for jj in range(s_max):
+        J = U32(jj)
+        ok = live & (J < size)
+        # kmer jj: window of 2*cs bits at offset 2*(size-1-jj)
+        sh = U32(2) * jnp.where(ok, size - U32(1) - J, 0)
+        shifted = u128.shr_var(nucs_t, sh)
+        win = u128.mask_bits(tuple(shifted[:4]), 2 * cs)
+        # re-insert the 2b bucket bits at hole offset h = mini-(size-1-jj)
+        h = jnp.where(ok, mini - (size - U32(1) - J), 0)
+        sh_h = U32(2) * h
+        low = u128.band(win, _ones_mask_var(sh_h, 4))
+        high = u128.shl_var(u128.shr_var(win, sh_h), sh_h + U32(2 * b))
+        bucket4 = (bucket, zero, zero, zero)
+        mid = u128.shl_var(bucket4, sh_h)
+        kmer = u128.mask_bits(u128.bor(u128.bor(low, high), mid), 2 * k)
+        full_mini_idx = jnp.where(ok, h - U32(suffix_reduc), 0)
+        pk = store.make_keys(jnp.where(ok, bucket, _INVALID),
+                             u128.stack(kmer), full_mini_idx, k, b)
+        keys_all.append(pk)
+        cnt_all.append(jnp.where(ok, base_count[:, jj], 0))
+        val_all.append(ok)
+    keys = jnp.stack(keys_all, axis=2).reshape(keys_all[0].shape[0], -1)
+    cnt = jnp.stack(cnt_all, axis=1).reshape(-1)
+    val = jnp.stack(val_all, axis=1).reshape(-1)
+    return keys, cnt, val
+
+
+def expand_keys(state: SklState, k: int, m: int, b: int,
+                chunk_rows: int = 1 << 18):
+    """Expand the whole arena to per-kmer packed keys host-orchestrated in
+    row chunks. Returns numpy (W, n_slots), counts (n_slots,), and the
+    per-slot (row, j) ids — row-major over LIVE rows only."""
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    n = int(state.n_rows)
+    W = store.key_words(k, b)
+    out_k, out_c, out_slot = [], [], []
+    bucket_np = np.asarray(state.bucket)[:n]
+    meta_np = np.asarray(state.meta)[:n]
+    nucs_np = np.asarray(state.nucs)[:, :n]
+    data_np = np.asarray(state.data)
+    offs_np = np.asarray(state.offs)[:n]
+    n_fin = int(state.n_fin_rows)
+    for start in range(0, n, chunk_rows):
+        end = min(start + chunk_rows, n)
+        R = end - start
+        sizes = meta_np[start:end] & 0xFF
+        base_count = np.ones((R, s_max), dtype=np.uint32)
+        fin = np.arange(start, end) < n_fin
+        if fin.any():
+            # gather finalized counts (vectorized)
+            o = offs_np[start:end].astype(np.int64)
+            idx = o[:, None] + np.arange(s_max)[None, :]
+            idx = np.clip(idx, 0, len(data_np) - 1)
+            cf = data_np[idx]
+            base_count = np.where(fin[:, None], cf, base_count
+                                  ).astype(np.uint32)
+        keys, cnt, val = _expand_chunk(
+            jnp.asarray(bucket_np[start:end]),
+            jnp.asarray(meta_np[start:end]),
+            jnp.asarray(nucs_np[:, start:end]),
+            jnp.asarray(base_count), k=k, m=m, b=b, s_max=s_max)
+        keys = np.asarray(keys)
+        cnt = np.asarray(cnt)
+        val = np.asarray(val)
+        jslots = np.tile(np.arange(s_max, dtype=np.int64), R)
+        rows = np.repeat(np.arange(start, end, dtype=np.int64), s_max)
+        keep = val
+        out_k.append(keys[:, keep])
+        out_c.append(cnt[keep])
+        out_slot.append(rows[keep] * s_max + jslots[keep])
+    if not out_k:
+        return (np.zeros((W, 0), np.uint32), np.zeros(0, np.uint32),
+                np.zeros(0, np.int64))
+    return (np.concatenate(out_k, axis=1), np.concatenate(out_c),
+            np.concatenate(out_slot))
+
+
+def finalize(state: SklState, k: int, m: int, b: int) -> SklState:
+    """Consolidate duplicate k-mer counts across rows and drop dead rows.
+
+    Per duplicated k-mer the total lands on the first slot (arena order);
+    later copies become zero-count slots; rows whose every slot is zero
+    are dropped. Produces a fully-finalized state (n_fin == n)."""
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    keys, cnt, slot = expand_keys(state, k, m, b)
+    n_slots = keys.shape[1]
+    if n_slots == 0:
+        return empty(state.bucket.shape[0], state.data.shape[0], nw)
+
+    # sort by key (carry slot), totals at run firsts
+    W = keys.shape[0]
+    slot_lo = (slot & 0xFFFFFFFF).astype(np.uint32)
+    slot_hi = (slot >> 32).astype(np.uint32)
+    ops = tuple(jnp.asarray(keys[i]) for i in range(W)) + (
+        jnp.asarray(slot_hi), jnp.asarray(slot_lo), jnp.asarray(cnt))
+    out = jax.lax.sort(ops, num_keys=W + 2)  # ties broken by slot order
+    skeys = out[:W]
+    s_hi, s_lo, scnt = out[W], out[W + 1], out[W + 2]
+    first = jnp.zeros(n_slots, dtype=bool).at[0].set(True)
+    neq = jnp.zeros(n_slots, dtype=bool)
+    for i in range(W):
+        neq = neq | (skeys[i] != jnp.roll(skeys[i], 1))
+    first = first | neq
+    csum = jnp.cumsum(scnt, dtype=jnp.uint32)
+    is_last = jnp.roll(first, -1).at[-1].set(True)
+    last_csum = jax.lax.cummin(
+        jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
+    totals = jnp.where(first, last_csum - (csum - scnt), 0)
+    # back to arena order
+    back = jax.lax.sort((s_hi, s_lo, totals), num_keys=2)
+    arena_counts = np.asarray(back[2])
+
+    # rebuild arena: surviving rows + data + offs (host, vectorized)
+    n = int(state.n_rows)
+    bucket_np = np.asarray(state.bucket)[:n]
+    meta_np = np.asarray(state.meta)[:n]
+    nucs_np = np.asarray(state.nucs)[:, :n]
+    sizes = (meta_np & 0xFF).astype(np.int64)
+    live_row = bucket_np != 0xFFFFFFFF
+    sizes = np.where(live_row, sizes, 0)
+    # expand_keys emits slots in strictly increasing (arena) order and the
+    # device sort-back restores exactly that order
+    row_of_slot = slot // s_max
+    # rows with any nonzero count survive
+    any_live = np.zeros(n, dtype=bool)
+    np.logical_or.at(any_live, row_of_slot, arena_counts > 0)
+    keep = live_row & any_live
+    kept_rows = np.nonzero(keep)[0]
+    new_sizes = sizes[kept_rows]
+    new_offs = np.zeros(len(kept_rows), dtype=np.uint32)
+    if len(kept_rows):
+        new_offs[1:] = np.cumsum(new_sizes)[:-1].astype(np.uint32)
+    total_k = int(new_sizes.sum())
+    # per-slot: keep slots of kept rows
+    keep_slot = keep[row_of_slot]
+    new_data = arena_counts[keep_slot].astype(np.uint32)
+    assert len(new_data) == total_k
+
+    rcap = state.bucket.shape[0]
+    kcap = state.data.shape[0]
+    while kcap < max(total_k, 1):
+        kcap *= 2
+    nr = len(kept_rows)
+    out_bucket = np.full(rcap, 0xFFFFFFFF, dtype=np.uint32)
+    out_meta = np.zeros(rcap, dtype=np.uint32)
+    out_nucs = np.zeros((nucs_np.shape[0], rcap), dtype=np.uint32)
+    out_offs = np.zeros(rcap, dtype=np.uint32)
+    out_bucket[:nr] = bucket_np[kept_rows]
+    out_meta[:nr] = meta_np[kept_rows]
+    out_nucs[:, :nr] = nucs_np[:, kept_rows]
+    out_offs[:nr] = new_offs
+    out_data = np.zeros(kcap, dtype=np.uint32)
+    out_data[:total_k] = new_data
+    return SklState(
+        bucket=jnp.asarray(out_bucket), meta=jnp.asarray(out_meta),
+        nucs=jnp.asarray(out_nucs), data=jnp.asarray(out_data),
+        offs=jnp.asarray(out_offs), n_rows=jnp.int32(nr),
+        n_fin_rows=jnp.int32(nr), n_fin_kmers=jnp.int32(total_k))
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b"))
+def _rows_from_keys(keys: jnp.ndarray, k: int, m: int, b: int):
+    """Packed per-kmer keys (W, N) -> size-1 skl rows (bucket, meta,
+    nucs)."""
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    cs, _, _, nw = skl_dims(k, m, b)
+    W = keys.shape[0]
+    le = tuple(keys[W - 1 - i] for i in range(W))
+    mini_full = le[0] & U32(0xFF)
+    kmer_all = u128.shr(le, 8)
+    zero = jnp.zeros_like(le[0])
+    kmer4 = u128.mask_bits(tuple(kmer_all[i] if i < len(kmer_all) else zero
+                                 for i in range(4)), 2 * k)
+    bucket_limbs = u128.shr(le, 8 + 2 * k)
+    bucket = bucket_limbs[0] & U32((1 << (2 * b)) - 1)
+
+    h = mini_full + U32(suffix_reduc)
+    sh_h = U32(2) * h
+    hi_part = u128.shl_var(u128.shr_var(kmer4, sh_h + U32(2 * b)), sh_h)
+    lo_part = u128.band(kmer4, _ones_mask_var(sh_h, 4))
+    cmp4 = u128.mask_bits(u128.bor(hi_part, lo_part), 2 * cs)
+    nucs = jnp.stack([cmp4[i] if i < 4 else zero for i in range(nw)])
+    meta = U32(1) | (h << U32(8))
+    return bucket, meta, nucs
+
+
+def from_entries(state, k: int, m: int, b: int,
+                 chunk: int = 1 << 20) -> SklState:
+    """Rebuild a (finalized) arena of size-1 rows from a compacted
+    per-kmer IndexState — used after reallocate, where the new minimizer
+    decomposition invalidates old super-k-mer groupings (the reference's
+    reallocate likewise re-inserts k-mer by k-mer, Brisk.hpp:210-219)."""
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    n = int(state.n_sorted)
+    keys_np = np.asarray(state.keys)[:, :n]
+    counts_np = np.asarray(state.data)[:n]
+    live = counts_np != 0
+    keys_np = keys_np[:, live]
+    counts_np = counts_np[live]
+    n_live = keys_np.shape[1]
+    rcap = max(1024, 1 << max(0, (max(n_live, 1) - 1).bit_length()))
+    out_b = np.full(rcap, 0xFFFFFFFF, dtype=np.uint32)
+    out_m = np.zeros(rcap, dtype=np.uint32)
+    out_n = np.zeros((nw, rcap), dtype=np.uint32)
+    for start in range(0, n_live, chunk):
+        end = min(start + chunk, n_live)
+        bb, mm, nn = _rows_from_keys(jnp.asarray(keys_np[:, start:end]),
+                                     k=k, m=m, b=b)
+        out_b[start:end] = np.asarray(bb)
+        out_m[start:end] = np.asarray(mm)
+        out_n[:, start:end] = np.asarray(nn)
+    kcap = max(1024, rcap)
+    data = np.zeros(kcap, dtype=np.uint32)
+    data[:n_live] = counts_np
+    offs = np.zeros(rcap, dtype=np.uint32)
+    offs[:n_live] = np.arange(n_live, dtype=np.uint32)
+    return SklState(
+        bucket=jnp.asarray(out_b), meta=jnp.asarray(out_m),
+        nucs=jnp.asarray(out_n), data=jnp.asarray(data),
+        offs=jnp.asarray(offs), n_rows=jnp.int32(n_live),
+        n_fin_rows=jnp.int32(n_live), n_fin_kmers=jnp.int32(n_live))
+
+
+def stats(state: SklState) -> dict:
+    n = int(state.n_fin_rows)
+    nk = int(state.n_fin_kmers)
+    nw = state.nucs.shape[0]
+    live_counts = int(np.count_nonzero(np.asarray(state.data)[:nk]))
+    resident = (8 + 4 * nw) * max(n, 1) + nk  # u8 counts on disk/resident
+    return dict(nb_superkmer_rows=n, nb_slots=nk,
+                nb_live_kmers=live_counts,
+                avg_kmers_per_skl=(nk / n) if n else 0.0,
+                resident_bytes=resident,
+                bytes_per_kmer=(resident / live_counts) if live_counts
+                else 0.0)
