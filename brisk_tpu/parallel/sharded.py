@@ -15,10 +15,15 @@ equivalent (SURVEY §2 parallelism table):
     MutexBucket.
 
 Everything is one jitted shard_map step: (sharded index, sharded batch,
-sharded carry) -> (sharded index', sharded carry', stats). Routing slots
-that overflow the per-destination capacity are counted and returned so the
-caller can re-run with more headroom (they are NOT silently dropped:
-callers must check).
+sharded carry) -> (sharded index', sharded carry', stats).
+
+Skew handling (the GROGRO analog, DenseMenuYo.hpp:216-240): rows beyond a
+destination's routing capacity are never dropped — they SPILL to their
+source shard's own log. Ownership (bucket % n_shards == shard) is a
+routing heuristic, not a correctness invariant: per-shard compaction
+consolidates whatever lives on a shard, and sharded_lookup sums each key's
+counts across ALL shards, so a key split between its owner and spill
+shards still reads back its exact total.
 """
 
 from functools import partial
@@ -40,7 +45,8 @@ _INVALID = U32(0xFFFFFFFF)
 class ShardedStats(NamedTuple):
     n_emitted: jnp.ndarray   # global emissions this step
     n_routed: jnp.ndarray    # rows that fit the routing capacity
-    n_dropped: jnp.ndarray   # rows lost to capacity overflow (must be 0)
+    n_spilled: jnp.ndarray   # rows kept on their SOURCE shard (skew
+    #                          overflow; the GROGRO analog, see module doc)
     n_boundaries: jnp.ndarray
 
 
@@ -55,26 +61,27 @@ def make_mesh(n_devices: int) -> Mesh:
 def _route_local(rows: jnp.ndarray, bucket: jnp.ndarray, valid: jnp.ndarray,
                  n_shards: int, cap: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack (W, N) packed-key rows into an (n_shards, cap, W) routing
-    buffer by destination shard (bucket % n_shards). Returns
-    (buffer, n_dropped)."""
+    buffer by destination shard (bucket % n_shards).
+
+    Returns (buffer, routed_mask (N,) bool in ORIGINAL row order): rows
+    beyond a destination's capacity are NOT dropped — the caller appends
+    them to the SOURCE shard's own log (the spill path; replicated-query
+    lookup and per-shard compaction make ownership violations harmless,
+    see sharded_lookup)."""
     W = rows.shape[0]
     n = rows.shape[1]
     dest = jnp.where(valid, bucket % U32(n_shards), U32(n_shards))
-    ops = (dest,) + tuple(rows[i] for i in range(W))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
-    dest_s = sorted_ops[0]
-    rows_s = jnp.stack(sorted_ops[1:])
-    counts = jnp.bincount(dest_s.astype(jnp.int32), length=n_shards + 1)
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(n, dtype=jnp.int32) - offsets[dest_s]
-    ok = (rank < cap) & (dest_s < U32(n_shards))
-    flat = jnp.where(ok, dest_s.astype(jnp.int32) * cap + rank,
-                     n_shards * cap)  # out-of-bounds -> dropped
+    # per-destination running rank, original order (n_shards is small)
+    rank = jnp.zeros(n, dtype=jnp.int32)
+    for d in range(n_shards):
+        is_d = dest == U32(d)
+        rank = jnp.where(is_d, jnp.cumsum(is_d) - 1, rank)
+    ok = valid & (rank < cap)
+    flat = jnp.where(ok, dest.astype(jnp.int32) * cap + rank,
+                     n_shards * cap)
     buf = jnp.full((n_shards * cap, W), _INVALID, dtype=U32)
-    buf = buf.at[flat].set(rows_s.T, mode="drop")
-    n_dropped = jnp.sum((~ok) & (dest_s < U32(n_shards)))
-    return buf.reshape(n_shards, cap, W), n_dropped
+    buf = buf.at[flat].set(rows.T, mode="drop")
+    return buf.reshape(n_shards, cap, W), ok
 
 
 @partial(jax.jit,
@@ -105,23 +112,29 @@ def sharded_insert_step(state: store.IndexState, codes: jnp.ndarray,
                                em.mini_idx.reshape(-1), k, b)
         valid = em.valid.reshape(-1)
 
-        buf, n_dropped = _route_local(rows, em.bucket.reshape(-1), valid,
-                                      n_shards, route_cap)
+        buf, routed_mask = _route_local(rows, em.bucket.reshape(-1),
+                                        valid, n_shards, route_cap)
         routed = jax.lax.all_to_all(buf, "x", split_axis=0, concat_axis=0,
                                     tiled=True)
-        # NOTE capacity contract: append consumes n_shards*route_cap RAW
-        # log slots per step (tombstones included); callers must compact
-        # (sharded_compact) often enough that
-        # n_sorted + n_shards*route_cap <= capacity before each step.
+        # NOTE capacity contract: the two appends consume
+        # n_shards*route_cap + B_local*L_out RAW log slots per step
+        # (tombstones included); callers must compact (sharded_compact)
+        # often enough beforehand.
         rcv = routed.reshape(-1, store.key_words(k, b)).T
         rcv_valid = rcv[0] != _INVALID
         local = store.append(local, rcv,
                              jnp.ones(rcv.shape[1], dtype=U32), rcv_valid)
+        # skew spill: rows beyond a destination's routing capacity stay on
+        # the SOURCE shard (GROGRO analog, DenseMenuYo.hpp:216-240) — no
+        # emission is ever dropped
+        spilled = valid & ~routed_mask
+        local = store.append(local, rows,
+                             jnp.ones(rows.shape[1], dtype=U32), spilled)
 
         stats = ShardedStats(
             n_emitted=jax.lax.psum(jnp.sum(valid), "x"),
             n_routed=jax.lax.psum(jnp.sum(rcv_valid), "x"),
-            n_dropped=jax.lax.psum(n_dropped, "x"),
+            n_spilled=jax.lax.psum(jnp.sum(spilled), "x"),
             n_boundaries=jax.lax.psum(
                 jnp.sum(em.boundary & em.valid), "x"))
         return (local.keys[None], local.data[None], local.n_sorted[None],
@@ -157,6 +170,148 @@ def sharded_compact(state: store.IndexState, mesh: Mesh
                         check_vma=False)(
         state.keys, state.data, state.n_sorted, state.n_used)
     return store.IndexState(*out)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "mesh", "route_cap"),
+         donate_argnums=(0,))
+def sharded_insert_windows(state: store.IndexState, codes: jnp.ndarray,
+                           valid_start: jnp.ndarray, valid_end: jnp.ndarray,
+                           k: int, m: int, b: int, mesh: Mesh,
+                           route_cap: int):
+    """Distributed insert of a stack of sequence-parallel WINDOW batches
+    (io.windows) in ONE device program — the multi-chip analog of
+    pipeline.insert_windows.
+
+    Global shapes: codes (S, B, L_buf) with B = n_shards * B_local lanes
+    data-parallel over the mesh; valid_start/valid_end (S, B). Each shard
+    scans its own lanes, routes certified emissions to their owner shard
+    (bucket % n_shards) via all_to_all, and appends; overflow rows spill
+    to the source shard (see module doc).
+
+    Returns (state', n_superkmer_boundaries, n_kmers, n_spilled,
+    cert (S, B) bool, ends MinimizerState of (S, B) leaves). Uncertified
+    lanes contribute nothing; callers repair them exactly via the
+    streaming path and sharded_append_buf (see parallel.facade).
+
+    Capacity contract (HOST-enforced): per shard and per step the two
+    appends consume n_shards*route_cap + B_local*L_out raw log slots, so
+    cap >= max_shard(n_used) + S*(n_shards*route_cap + B_local*L_out)
+    before the call. Input state buffers are donated.
+    """
+    n_shards = mesh.shape["x"]
+    W = store.key_words(k, b)
+
+    def run(st_keys, st_data, st_ns, st_nu, codes, vs, ve):
+        local = store.IndexState(st_keys[0], st_data[0], st_ns[0], st_nu[0])
+        Bl = codes.shape[1]
+        fresh = jnp.ones((Bl,), dtype=bool)
+        zero = enum_ops.zero_carry(Bl)
+
+        def step(st, xs):
+            codes_i, vs_i, ve_i = xs
+            em, end = enum_ops.enumerate_batch(
+                codes_i, fresh, ve_i, zero, k=k, m=m, b=b, valid_start=vs_i)
+            rows = store.make_keys(em.bucket.reshape(-1),
+                                   em.key.reshape(4, -1),
+                                   em.mini_idx.reshape(-1), k, b)
+            ok = (em.valid & em.cert[:, None]).reshape(-1)
+            buf, routed_mask = _route_local(rows, em.bucket.reshape(-1),
+                                            ok, n_shards, route_cap)
+            routed = jax.lax.all_to_all(buf, "x", split_axis=0,
+                                        concat_axis=0, tiled=True)
+            rcv = routed.reshape(-1, W).T
+            rcv_valid = rcv[0] != _INVALID
+            st = store.append(st, rcv, jnp.ones(rcv.shape[1], dtype=U32),
+                              rcv_valid)
+            spilled = ok & ~routed_mask
+            st = store.append(st, rows, jnp.ones(rows.shape[1], dtype=U32),
+                              spilled)
+            n_sk = jnp.sum(em.boundary & em.valid & em.cert[:, None]
+                           ).astype(jnp.int32)
+            return st, (n_sk, jnp.sum(ok).astype(jnp.int32),
+                        jnp.sum(spilled).astype(jnp.int32), em.cert, end)
+
+        local, (n_sks, n_kms, n_sps, certs, ends) = jax.lax.scan(
+            step, local, (codes, vs, ve))
+        return (local.keys[None], local.data[None], local.n_sorted[None],
+                local.n_used[None],
+                jax.lax.psum(jnp.sum(n_sks), "x"),
+                jax.lax.psum(jnp.sum(n_kms), "x"),
+                jax.lax.psum(jnp.sum(n_sps), "x"),
+                certs, ends)
+
+    specs_state = (P("x"), P("x"), P("x"), P("x"))
+    lane = P(None, "x")
+    out = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=specs_state + (lane, lane, lane),
+        out_specs=specs_state + (P(), P(), P(), lane,
+                                 jax.tree.map(lambda _: lane,
+                                              enum_ops.zero_carry(1))),
+        check_vma=False,
+    )(state.keys, state.data, state.n_sorted, state.n_used,
+      codes, valid_start, valid_end)
+    keys, data, ns, nu, n_sk, n_km, n_sp, certs, ends = out
+    return (store.IndexState(keys, data, ns, nu), n_sk, n_km, n_sp,
+            certs, ends)
+
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
+def sharded_append_buf(state: store.IndexState, buf: jnp.ndarray,
+                       mesh: Mesh) -> store.IndexState:
+    """Append a HOST-built routing buffer: buf (n_shards, cap_r, W) uint32,
+    INVALID-padded; shard d appends buf[d] to its local log. Used by the
+    facade to deliver repaired-window rows to their owner shards."""
+    def run(keys, data, ns, nu, buf):
+        local = store.IndexState(keys[0], data[0], ns[0], nu[0])
+        rows = buf[0].reshape(-1, buf.shape[-1]).T
+        valid = rows[0] != _INVALID
+        local = store.append(local, rows,
+                             jnp.ones(rows.shape[1], dtype=U32), valid)
+        return (local.keys[None], local.data[None], local.n_sorted[None],
+                local.n_used[None])
+
+    specs = (P("x"), P("x"), P("x"), P("x"))
+    out = jax.shard_map(run, mesh=mesh, in_specs=specs + (P("x"),),
+                        out_specs=specs, check_vma=False)(
+        state.keys, state.data, state.n_sorted, state.n_used, buf)
+    return store.IndexState(*out)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_lookup(state: store.IndexState, keys: jnp.ndarray, mesh: Mesh
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query (W, Q) packed keys against every shard's SORTED region and
+    psum the results: found (Q,) int32 (#shards holding the key) and
+    values (Q,) uint32 (total count). Summing across shards makes spill
+    placement invisible to readers. Callers compact every shard first."""
+    def run(st_keys, st_data, st_ns, st_nu, q):
+        local = store.IndexState(st_keys[0], st_data[0], st_ns[0], st_nu[0])
+        found, vals = store.lookup(local, q)
+        return (jax.lax.psum(found.astype(jnp.int32), "x"),
+                jax.lax.psum(jnp.where(found, vals, U32(0)), "x"))
+
+    specs = (P("x"), P("x"), P("x"), P("x"))
+    out = jax.shard_map(run, mesh=mesh, in_specs=specs + (P(),),
+                        out_specs=(P(), P()), check_vma=False)(
+        state.keys, state.data, state.n_sorted, state.n_used, keys)
+    return out
+
+
+def sharded_grow(state: store.IndexState, new_capacity: int, mesh: Mesh
+                 ) -> store.IndexState:
+    """Host-side per-shard capacity growth (pad the entry axis)."""
+    cap = state.keys.shape[2]
+    assert new_capacity > cap
+    pad = new_capacity - cap
+    sharding = NamedSharding(mesh, P("x"))
+    return store.IndexState(
+        keys=jax.device_put(
+            jnp.pad(state.keys, ((0, 0), (0, 0), (0, pad)),
+                    constant_values=np.uint32(0xFFFFFFFF)), sharding),
+        data=jax.device_put(jnp.pad(state.data, ((0, 0), (0, pad))),
+                            sharding),
+        n_sorted=state.n_sorted, n_used=state.n_used)
 
 
 def sharded_empty(n_shards: int, capacity: int, mesh: Mesh, nkey: int
