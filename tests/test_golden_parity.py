@@ -77,3 +77,17 @@ def test_engine_matches_compiled_reference_synth(harness, tmp_path):
                capacity=1 << 19)
     br.insert_file(path)
     assert br.counts_dict() == golden
+
+
+@pytest.mark.slow
+def test_sharded_facade_matches_compiled_reference(harness):
+    """The multi-chip facade (8-shard CPU mesh) against the compiled
+    reference's golden dump on the fixture."""
+    from brisk_tpu.parallel.facade import ShardedBrisk
+    k, m, b = 31, 11, 8
+    golden = golden_counts(os.path.join(ROOT, "data", "test.fa"), k, m)
+    br = ShardedBrisk(Parameters(k=k, m=m, b=b), n_devices=8,
+                      batch_per_shard=8, window=64, stack=2,
+                      capacity=1 << 15)
+    br.insert_file(os.path.join(ROOT, "data", "test.fa"))
+    assert br.counts_dict() == golden
