@@ -62,16 +62,21 @@ class Brisk:
         self.n_superkmers = 0
         self.n_repaired_windows = 0
         self.keep_superkmers = keep_superkmers
-        self.skl = None
-        if keep_superkmers:
-            from brisk_tpu.index import sklstore
-            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
-            self.skl = sklstore.empty(1 << 14, 1 << 14, nw)
         # rows kept per lane in the fused skl segmentation; lanes with
         # more super-k-mers are re-run at full width (rare: avg size is
         # ~6-12 kmers, overflow needs avg < 4)
         self.skl_row_cap = max(16, window // 4)
         self.n_skl_overflows = 0
+        self.skl = None
+        if keep_superkmers:
+            from brisk_tpu.index import sklstore
+            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
+            # presize for one full window-stack flush so the arena does
+            # not regrow (and re-trigger the fused program's compile) on
+            # the first insert: each flush appends S*B*row_cap raw rows
+            flush_rows = stack * batch * self.skl_row_cap
+            rcap = 1 << max(14, (2 * flush_rows - 1).bit_length())
+            self.skl = sklstore.empty(rcap, 1 << 14, nw)
 
     # -- insertion ---------------------------------------------------------
 
