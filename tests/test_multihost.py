@@ -29,6 +29,7 @@ def test_two_process_count_parity(tmp_path):
     outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(ROOT, "tests", "multihost_worker.py"),
          str(port), str(i), "2", outs[i]],
