@@ -84,13 +84,20 @@ def e2e_bench():
 
 
 def main():
+    import sys
+    t0 = time.time()
     value = device_bench()
+    print(f"[bench] device_bench done in {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t1 = time.time()
     try:
         e2e = e2e_bench()
     except Exception as e:  # never lose the primary metric
         import traceback
         traceback.print_exc()
         e2e = 0.0
+    print(f"[bench] e2e_bench done in {time.time() - t1:.1f}s",
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "kmers_indexed_per_sec_single_chip_k31",
         "value": round(value),
