@@ -15,6 +15,16 @@ import os as _os
 
 import jax as _jax
 
+# Some TPU plugins (the tunneled "axon" runtime here) override the
+# JAX_PLATFORMS env var during registration; jax.config wins, so expose a
+# package-level escape hatch (e.g. BRISK_TPU_PLATFORM=cpu for host runs).
+_plat = _os.environ.get("BRISK_TPU_PLATFORM")
+if _plat:
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # Persistent compilation cache: index kernels are recompiled per
 # (batch, window, capacity) shape and TPU compiles are expensive
 # (30-200s); the cache makes repeated runs (tests, bench, driver) warm.

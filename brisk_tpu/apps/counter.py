@@ -61,7 +61,11 @@ def main(argv=None):
     t0 = time.time()
     counter = Counter(params, batch=args.batch, window=args.window)
     counter.count_file(args.file)
-    jax.block_until_ready(counter.state.keys)
+    if counter.skl is not None:
+        counter._drain()
+        jax.block_until_ready(counter.skl.bucket)
+    else:
+        jax.block_until_ready(counter.state.keys)
     elapsed = time.time() - t0
     print(f"Kmer counted elapsed time: {elapsed:.3f}s")
 

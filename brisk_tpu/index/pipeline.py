@@ -23,6 +23,53 @@ from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.ops.minimizer import MinimizerState
 
 
+def zero_chain():
+    """Initial window-continuity chain carry: (predecessor end state of
+    the LAST lane processed so far — MinimizerState of scalar leaves —
+    and whether that state is exact). Host passes this at the start of an
+    insert stream; each flush returns the updated chain for the next."""
+    z = jnp.uint32(0)
+    return (MinimizerState(z, z, z, jnp.asarray(False), z, z, z),
+            jnp.asarray(False))
+
+
+def _chain_exact(em, end, vs_i, chain, margin: int):
+    """End-state EQUALITY certificate, chained across lanes (VERDICT r2
+    item 4): a window is exact iff its warm-up replay re-derived the TRUE
+    machine state at its first valid position. em.cert gives the
+    content-local proofs (unique window minimum for k <= 32; window 0 of
+    a record always). On top, lane j is also exact when its replayed
+    state at valid_start-1 EQUALS lane j-1's end state AND lane j-1 is
+    exact — the replayed state is then the true sequential state, quirk
+    or no quirk (this is what unlocks k > 32 sequence parallelism, the
+    truncation quirk never enters the argument).
+
+    exact_j = u_j | (q_j & exact_{j-1}) is a boolean linear recurrence;
+    composed over a lane prefix it stays the same form, so one
+    associative_scan evaluates all lanes. `chain` carries the previous
+    batch's last-lane (end state, exactness) across batches/flushes as
+    DEVICE values — no host sync.
+
+    Returns (exact (B,) bool, new_chain)."""
+    prev_end, prev_exact = chain
+    shift = lambda c, e: jnp.concatenate([jnp.asarray(c)[None].astype(
+        e.dtype), e[:-1]])
+    pred = MinimizerState(*(shift(c, e) for c, e in zip(prev_end, end)))
+    eq = jnp.ones(vs_i.shape, dtype=bool)
+    for a, bfield in zip(em.replay, pred):
+        eq = eq & (a == bfield)
+    u = em.cert
+    q = eq & (vs_i != margin)  # window-0 lanes certify via u alone
+
+    def comb(a, bb):  # bb is the LATER element
+        return (bb[0] | (bb[1] & a[0]), bb[1] & a[1])
+
+    U, Q = jax.lax.associative_scan(comb, (u, q))
+    exact = U | (Q & prev_exact)
+    new_chain = (MinimizerState(*(e[-1] for e in end)), exact[-1])
+    return exact, new_chain
+
+
 @partial(jax.jit, static_argnames=("k", "m", "b"), donate_argnums=(0,))
 def insert_many(state: store.IndexState, carry: MinimizerState,
                 codes: jnp.ndarray, fresh: jnp.ndarray,
@@ -70,7 +117,7 @@ def insert_many(state: store.IndexState, carry: MinimizerState,
 @partial(jax.jit, static_argnames=("k", "m", "b"), donate_argnums=(0,))
 def insert_windows(state: store.IndexState, codes: jnp.ndarray,
                    valid_start: jnp.ndarray, valid_end: jnp.ndarray,
-                   k: int, m: int, b: int
+                   chain, k: int, m: int, b: int
                    ) -> Tuple[store.IndexState, jnp.ndarray, jnp.ndarray]:
     """Insert a stack of sequence-parallel WINDOW batches (io.windows) in
     one device program. Unlike insert_many there is NO carry: every lane
@@ -95,81 +142,96 @@ def insert_windows(state: store.IndexState, codes: jnp.ndarray,
     insert_many (cap >= n_used + S*B*L_out; donated input state).
     """
     B = codes.shape[1]
+    margin = k - 1
     fresh = jnp.ones((B,), dtype=bool)
     zero = enum_ops.zero_carry(B)
 
-    def step(st, xs):
+    def step(carry, xs):
+        st, ch = carry
         codes_i, vs_i, ve_i = xs
         em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
                                            k=k, m=m, b=b, valid_start=vs_i)
+        exact, ch = _chain_exact(em, end, vs_i, ch, margin)
         rows = store.make_keys(em.bucket.reshape(-1),
                                em.key.reshape(4, -1),
                                em.mini_idx.reshape(-1), k, b)
-        valid = (em.valid & em.cert[:, None]).reshape(-1)
+        valid = (em.valid & exact[:, None]).reshape(-1)
         st = store.append(st, rows,
                           jnp.ones(rows.shape[1], dtype=jnp.uint32), valid)
-        n_sk = jnp.sum(em.boundary & em.valid & em.cert[:, None]
+        n_sk = jnp.sum(em.boundary & em.valid & exact[:, None]
                        ).astype(jnp.int32)
         n_km = jnp.sum(valid).astype(jnp.int32)
-        return st, (n_sk, n_km, em.cert, end)
+        return (st, ch), (n_sk, n_km, exact, end)
 
-    state, (n_sks, n_kms, certs, ends) = jax.lax.scan(
-        step, state, (codes, valid_start, valid_end))
-    return state, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends
+    (state, chain), (n_sks, n_kms, certs, ends) = jax.lax.scan(
+        step, (state, chain), (codes, valid_start, valid_end))
+    return state, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, chain
 
 
 @partial(jax.jit, static_argnames=("k", "m", "b", "row_cap"),
-         donate_argnums=(0, 1))
-def insert_windows_skl(state: store.IndexState, skl: "sklstore.SklState",
-                       codes: jnp.ndarray, valid_start: jnp.ndarray,
-                       valid_end: jnp.ndarray, k: int, m: int, b: int,
-                       row_cap: int):
-    """insert_windows + compacted super-k-mer row construction (C8).
+         donate_argnums=(0,))
+def insert_windows_sklnative(skl, codes: jnp.ndarray,
+                             valid_start: jnp.ndarray,
+                             valid_end: jnp.ndarray, chain,
+                             k: int, m: int, b: int,
+                             row_cap: int):
+    """THE product insert program (k <= 32): sequence-parallel window
+    stack -> compacted super-k-mer rows ONLY. No per-k-mer store — the skl
+    arena IS the index (the reference's Bucket<DATA> stores nothing but
+    SKL records + arenas either, buckets.hpp:19-58); per-k-mer counts are
+    consolidated lazily by sklstore.finalize.
 
-    In the same device program each batch's emissions are additionally
-    segmented into super-k-mers and appended to the skl arena
-    (index.sklstore) as fixed-width rows: up to `row_cap` rows per lane
-    (lanes with more segments are flagged in `skl_overflow` and
-    contribute NO skl rows — callers re-run them at full width through
-    api.Brisk._repair_skl_overflow). Uncertified lanes contribute neither
-    per-kmer rows nor skl rows (repaired exactly later).
+    Each batch: enumerate -> segment into super-k-mer rows (up to row_cap
+    per lane) -> flush-global live-first sort -> DENSE append (the arena
+    never holds tombstones; round 2's per-flush compress_rows full sorts
+    are gone, VERDICT r2 item 1).
 
-    Returns (state', skl', n_sk, n_km, cert, ends, skl_overflow (S, B)).
-    Capacity preconditions extend insert_many's: ALSO
-    skl.n_rows + S*B*row_cap <= skl row capacity. Both input states are
-    donated.
-    """
+    `chain` threads the window-continuity equality certificate across
+    batches AND flushes (see _chain_exact / zero_chain) — all device
+    values, no host sync. Returns (skl', n_sk, n_km, cert, ends,
+    skl_overflow, n_rows_after, chain'). n_sk counts super-k-mer
+    boundaries (for stats parity), NOT rows. n_rows_after is a FRESH
+    scalar (safe to read back after the returned skl has been donated to
+    the next flush). Preconditions: skl donated; skl.n_rows + S*B*row_cap
+    <= rcap for EVERY step of the stack (host tracks an upper bound and
+    grows ahead of time)."""
     from brisk_tpu.index import sklstore
 
     S, B, L_buf = codes.shape
     margin = k - 1
-    L_out = L_buf - margin
     fresh = jnp.ones((B,), dtype=bool)
     zero = enum_ops.zero_carry(B)
     pos_out = jnp.arange(margin, L_buf, dtype=jnp.uint32)[None, :]
+    nw = skl.nucs.shape[0]
+    R = B * row_cap
+    _INV = np.uint32(0xFFFFFFFF)
 
-    def step(sc, xs):
-        st, sk = sc
+    def step(carry, xs):
+        sk, ch = carry
         codes_i, vs_i, ve_i = xs
         em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
                                            k=k, m=m, b=b, valid_start=vs_i)
-        rows = store.make_keys(em.bucket.reshape(-1),
-                               em.key.reshape(4, -1),
-                               em.mini_idx.reshape(-1), k, b)
-        ok = em.valid & em.cert[:, None]
-        st = store.append(st, rows,
-                          jnp.ones(rows.shape[1], dtype=jnp.uint32),
-                          ok.reshape(-1))
+        exact, ch = _chain_exact(em, end, vs_i, ch, margin)
+        ok = em.valid & exact[:, None]
         first_valid = pos_out == vs_i[:, None].astype(jnp.uint32)
         rb, rm, rn, ovf = sklstore.rows_from_emissions(
             em.key, em.bucket, em.mini_idx, em.use_rc, ok,
             first_valid, em.boundary, k, m, b, row_cap)
-        sk = sklstore.append(sk, rb.reshape(-1), rm.reshape(-1),
-                             rn.reshape(rn.shape[0], -1))
+        rb_f = rb.reshape(R)
+        live = rb_f != _INV
+        # live-first stable order (genome order preserved within the flush)
+        order = jnp.where(live, jnp.arange(R, dtype=jnp.uint32), _INV)
+        out = jax.lax.sort(
+            (order, rb_f, rm.reshape(R))
+            + tuple(rn.reshape(nw, R)[i] for i in range(nw)), num_keys=1)
+        n_live = jnp.sum(live).astype(jnp.int32)
+        sk = sklstore.append_n(sk, out[1], out[2], jnp.stack(out[3:]),
+                               n_live)
         n_sk = jnp.sum(em.boundary & ok).astype(jnp.int32)
         n_km = jnp.sum(ok).astype(jnp.int32)
-        return (st, sk), (n_sk, n_km, em.cert, end, ovf)
+        return (sk, ch), (n_sk, n_km, exact, end, ovf)
 
-    (state, skl), (n_sks, n_kms, certs, ends, ovfs) = jax.lax.scan(
-        step, (state, skl), (codes, valid_start, valid_end))
-    return state, skl, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, ovfs
+    (skl, chain), (n_sks, n_kms, certs, ends, ovfs) = jax.lax.scan(
+        step, (skl, chain), (codes, valid_start, valid_end))
+    return (skl, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, ovfs,
+            skl.n_rows + jnp.int32(0), chain)

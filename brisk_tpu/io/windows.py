@@ -19,10 +19,17 @@ minimum is unique (m odd excludes palindromic m-mers, so `rev` cannot
 diverge). Where the minimum is NOT unique (adversarial repeats, e.g.
 poly-A runs), the re-synced state can disagree on WHICH equal-hash copy is
 the minimizer — a mini_idx / super-k-mer-boundary phase difference only.
-Per-k-mer VALUE counts remain exact because every k-mer is still emitted
-exactly once; the reference's own mode-2 oracle also verifies by value
-(counter.cpp:90-126). Bit-exactness incl. mini_idx on typical data is
-covered by tests/test_windows.py.
+
+For k > 32 the unique-minimum argument is defeated by the reference's
+truncation quirk (Kmers.cpp:371: the expiry rescan hashes the k-mer's low
+64 bits only, so the machine's minimum is not the true window minimum).
+Those lanes are certified by END-STATE EQUALITY instead: the replayed
+state at valid_start-1 is compared with the predecessor window's exact
+end state inside the same device program (pipeline._chain_exact) — state
+agreement there implies the replay re-derived the true sequential state,
+truncation and all. Lanes that certify neither way are repaired exactly
+(api.Brisk._repair_window). Bit-exactness incl. mini_idx on typical data
+is covered by tests/test_windows.py.
 """
 
 from dataclasses import dataclass
@@ -54,11 +61,6 @@ class WindowPacker:
                  warmup: int = None):
         if warmup is None:
             warmup = default_warmup(k, m)
-        if k > 32:
-            raise ValueError(
-                "windowed packing requires k <= 32 (the reference's k>32 "
-                "truncation quirk defeats the re-sync certificate; use the "
-                "streaming BatchPacker for k > 32)")
         assert l_out % 16 == 0, "l_out must be a multiple of the scan chunk"
         assert warmup < l_out, "warmup must leave room for useful emissions"
         self.k = k

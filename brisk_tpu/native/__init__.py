@@ -11,7 +11,26 @@ import subprocess
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libbrisk_native.so")
+
+
+def _so_path() -> str:
+    """Build target for the lazily-compiled native library. The package
+    dir may be read-only (system site-packages), so prefer a user-writable
+    cache dir (ADVICE r2: silent degradation on read-only installs);
+    a pre-built .so shipped next to the sources still wins."""
+    packaged = os.path.join(_DIR, "libbrisk_native.so")
+    src = os.path.join(_DIR, "fasta_codec.cpp")
+    if (os.path.exists(packaged)
+            and os.path.getmtime(packaged) >= os.path.getmtime(src)):
+        return packaged
+    cache = os.environ.get(
+        "BRISK_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "brisk_tpu_jax"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libbrisk_native.so")
+
+
+_SO = _so_path()
 _lib = None
 _load_failed = False
 

@@ -60,6 +60,12 @@ class Emissions(NamedTuple):
     bucket: jnp.ndarray    # u32: reduced-minimizer bucket id
     cert: jnp.ndarray      # (B,) bool: warm-up re-sync certificate (always
     #                        True outside windowed mode; see io.windows)
+    replay: MinimizerState  # per-lane machine state at the END of the
+    #                         warm-up replay (position valid_start-1),
+    #                         (B,) leaves — compared against the previous
+    #                         window's end state for the equality
+    #                         certificate (windowed mode only; garbage for
+    #                         lanes with valid_start == margin)
 
 
 def zero_carry(batch: int) -> MinimizerState:
@@ -86,18 +92,17 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
     codes = codes.astype(U32)  # accept uint8 input (4x less H2D traffic)
 
     windowed = valid_start is not None
-    if windowed and k > 32:
-        raise ValueError(
-            "windowed (valid_start) mode requires k <= 32: the reference's "
-            "k>32 truncation quirk (Kmers.cpp:371) makes the rescan hash "
-            "differ from the rolling window minimum, so the warm-up "
-            "re-sync certificate does not hold; use the streaming "
-            "BatchPacker path for k > 32")
+    # k > 32 windowed mode: the reference's truncation quirk (Kmers.cpp:371)
+    # makes the rescan hash differ from the rolling window minimum, so the
+    # unique-window-minimum certificate does not hold — those lanes rely
+    # on the end-state EQUALITY certificate instead (em.replay compared to
+    # the predecessor window's end state, chained in the pipeline).
+    with_unique = windowed and k <= 32
 
     pa = minimizer.position_pipeline(codes, k, m)
     rescan_out = minimizer.windowed_get_minimizer(
-        pa, pa.fwd_k, k, m, with_unique=windowed)
-    rescan, unique = rescan_out if windowed else (rescan_out, None)
+        pa, pa.fwd_k, k, m, with_unique=with_unique)
+    rescan, unique = rescan_out if with_unique else (rescan_out, None)
 
     # Init state for fresh lanes: get_minimizer over the (k-1)-mer ending at
     # margin-1 (computed on the margin-wide prefix only).
@@ -160,14 +165,14 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
 
         suppress = (x["t"] == U32(0)) & fresh
         boundary = (expiry | improve) & (~suppress)
+        # pos/heavy always emitted: the padded-carry recovery needs them at
+        # L_out-1 and the windowed equality certificate reads the full
+        # state at the replay boundary (valid_start-1)
         out = dict(boundary=boundary, use_rc=new.rev,
                    mini_idx=jnp.where(new.rev, km - new.pos, new.pos),
                    mini_lo=new.mini_lo, mini_hi=new.mini_hi,
-                   hash_hi=new.hash_hi, hash_lo=new.hash_lo)
-        if need_pad:
-            # extra fields so the carry can be recovered at position
-            # L_out-1 (the scan itself runs on into the padding)
-            out.update(pos=new.pos, heavy=new.heavy)
+                   hash_hi=new.hash_hi, hash_lo=new.hash_lo,
+                   pos=new.pos, heavy=new.heavy)
         return new, out
 
     def step(state: MinimizerState, xc):
@@ -203,10 +208,14 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
         # window minimum therefore forces full state agreement, and the
         # machines stay in lock-step afterwards. Lanes with
         # valid_start == margin (record starts / window 0) are exact by
-        # construction.
-        replay = pos_idx < valid_start[:, None].astype(U32)
-        cert = jnp.any(unique[:, margin:] & replay, axis=1) | (
-            valid_start == margin)
+        # construction. For k > 32 the unique-minimum argument fails
+        # (truncation quirk) and only the window-0 rule certifies here;
+        # the pipeline adds the end-state EQUALITY certificate on top
+        # (em.replay vs predecessor end, pipeline._chain_exact).
+        in_replay = pos_idx < valid_start[:, None].astype(U32)
+        cert = valid_start == margin
+        if unique is not None:
+            cert = cert | jnp.any(unique[:, margin:] & in_replay, axis=1)
     else:
         cert = jnp.ones((B,), dtype=bool)
 
@@ -232,12 +241,34 @@ def enumerate_batch(codes: jnp.ndarray, fresh: jnp.ndarray,
     key = _hash_slice_replace(kmer, mini_idx, slice_hi, slice_lo, m)
     bucket = _bucket_id(slice_hi, slice_lo, m, b)
 
+    if windowed:
+        # full machine state at the replay boundary (position
+        # valid_start-1): compared against the predecessor window's end
+        # state by the pipeline's equality certificate. One-hot masked
+        # reduction, NOT take_along_axis: gathers hang the axon backend
+        # (and are slow on TPU generally).
+        ridx = (valid_start - margin - 1).astype(jnp.int32)
+        onehot = jnp.arange(L_out, dtype=jnp.int32)[None, :] == ridx[:, None]
+
+        def take(a2d):
+            return jnp.max(jnp.where(onehot, a2d, 0), axis=1)
+
+        replay = MinimizerState(
+            mini_lo=take(row(ys["mini_lo"])),
+            mini_hi=take(row(ys["mini_hi"])),
+            pos=take(row(ys["pos"])),
+            rev=jnp.any(onehot & use_rc, axis=1),
+            heavy=take(row(ys["heavy"])),
+            hash_hi=take(hash_hi), hash_lo=take(hash_lo))
+    else:
+        replay = final_state
+
     em = Emissions(
         valid=valid, boundary=row(ys["boundary"]), use_rc=use_rc,
         mini_idx=mini_idx, mini_lo=row(ys["mini_lo"]),
         mini_hi=row(ys["mini_hi"]), hash_hi=hash_hi, hash_lo=hash_lo,
         kmer=u128.stack(kmer), key=u128.stack(key), bucket=bucket,
-        cert=cert)
+        cert=cert, replay=replay)
     return em, final_state
 
 

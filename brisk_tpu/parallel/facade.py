@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brisk_tpu.index import readout, store
+from brisk_tpu.index import pipeline, readout, store
 from brisk_tpu.io import fasta, windows
 from brisk_tpu.oracle import pyref
 from brisk_tpu.ops import enumerate as enum_ops
@@ -47,25 +47,53 @@ class ShardedBrisk:
                  batch_per_shard: int = 64, window: int = 256,
                  stack: int = 4, route_cap: int = None,
                  capacity: int = 1 << 16):
+        from brisk_tpu.parallel import multihost
         if mesh is None:
-            mesh = sharded.make_mesh(n_devices or len(jax.devices()))
+            if jax.process_count() > 1:
+                mesh = multihost.global_mesh()
+            else:
+                mesh = sharded.make_mesh(n_devices or len(jax.devices()))
         self.mesh = mesh
         self.params = params
         self.n_shards = mesh.shape["x"]
         self.B_local = batch_per_shard
         self.B = self.n_shards * batch_per_shard
-        self.window = window
+        # large (k - m) warm-ups bump small windows (see api.Brisk)
+        wu = windows.default_warmup(params.k, params.m)
+        self.window = max(window, -(-(wu + 48) // 16) * 16)
         self.stack = stack
         # default: every emission of a step fits even if one shard owns all
         self.route_cap = route_cap or batch_per_shard * window
         self.W = store.key_words(params.k, params.b)
-        self.state = sharded.sharded_empty(self.n_shards, capacity, mesh,
-                                           self.W)
+        # multi-host: host-major lane blocks — each process packs ONLY its
+        # own records into its own devices' lanes (VERDICT r2 item 3);
+        # programs run in lockstep over the global mesh
+        mesh_devs = list(np.asarray(mesh.devices).reshape(-1))
+        self.n_proc = len({d.process_index for d in mesh_devs})
+        self.multihost = self.n_proc > 1
+        self.pid = jax.process_index()
+        my = [i for i, d in enumerate(mesh_devs)
+              if d.process_index == self.pid]
+        assert my == list(range(my[0], my[0] + len(my))), \
+            "mesh must be host-major (multihost.global_mesh)"
+        self.my_shards = my
+        self.lane_offset = my[0] * batch_per_shard
+        self.my_lanes = len(my) * batch_per_shard
+        if self.multihost:
+            self.state = multihost.sharded_empty_global(
+                self.n_shards, capacity, mesh, self.W)
+        else:
+            self.state = sharded.sharded_empty(self.n_shards, capacity,
+                                               mesh, self.W)
         self._n_used_ub = 0     # host upper bound on max-shard n_used
-        self.n_emitted = 0
+        self.n_emitted = 0      # GLOBAL fused-path emissions + MY repairs
         self.n_superkmers = 0
         self.n_spilled = 0
         self.n_repaired_windows = 0
+        # repair contributions are per-process (multihost stats() sums
+        # them across processes; the fused parts are already global psums)
+        self._repair_emitted = 0
+        self._repair_superkmers = 0
 
     # -- capacity (host-enforced; see sharded_insert_windows contract) ------
 
@@ -92,21 +120,20 @@ class ShardedBrisk:
     # -- insertion -----------------------------------------------------------
 
     def insert_file(self, path: str) -> None:
-        p = self.params
-        if p.k <= 32:
-            self._insert_windowed(self._records(path))
-        else:
-            self._insert_streaming(
-                fasta.fasta_batches(path, p.k, self.B, self.window))
+        records = self._records(path)
+        if self.multihost:
+            # every process reads the (shared-FS) file; round-robin record
+            # ownership; each packs only its own lanes
+            records = [r for i, r in enumerate(records)
+                       if i % self.n_proc == self.pid]
+        self._insert_windowed(iter(records) if isinstance(records, list)
+                              else records)
         self._compact()
 
     def insert_sequence(self, seq: str) -> None:
-        p = self.params
-        if p.k <= 32:
-            self._insert_windowed(iter([seq]))
-        else:
-            packer = fasta.BatchPacker(p.k, self.B, self.window)
-            self._insert_streaming(packer.pack(iter([seq])))
+        if self.multihost and self.pid != 0:
+            seq = ""  # single sequence is owned by process 0
+        self._insert_windowed(iter([seq] if seq else []))
         self._compact()
 
     def _records(self, path: str):
@@ -135,50 +162,107 @@ class ShardedBrisk:
             self.n_superkmers += int(stats.n_boundaries) + int(
                 np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
 
-    # fused window path (k <= 32)
+    # fused window path (every k: the cross-shard equality chain certifies
+    # k > 32 windows, sharded._chain_exact_sharded)
     def _insert_windowed(self, records) -> None:
+        from brisk_tpu.parallel import multihost
         p = self.params
-        packer = windows.WindowPacker(p.k, p.m, self.B, l_out=self.window)
+        # each process packs ITS lane block only (the whole batch on a
+        # single host); flush counts are synchronized so the collective
+        # programs run in lockstep across processes
+        my_B = self.my_lanes if self.multihost else self.B
+        packer = windows.WindowPacker(p.k, p.m, my_B, l_out=self.window)
         self._prev_tail = None
-        S, B, L_buf = self.stack, self.B, packer.l_buf
+        self._chain = pipeline.zero_chain()
+        if self.multihost:
+            self._chain = multihost.replicate(self.mesh, self._chain)
+        S, L_buf = self.stack, packer.l_buf
+
+        def empty_batch():
+            return windows.WinBatch(
+                np.zeros((my_B, L_buf), np.uint8),
+                np.zeros(my_B, np.int32), np.zeros(my_B, np.int32), 0, 0,
+                np.full(my_B, -1, np.int64), np.zeros(my_B, np.int32))
+
+        n_flushes_target = None
+        if self.multihost:
+            records = [r for r in records if len(r) >= p.k]
+            n_win = 0
+            for r in records:
+                n_k = len(r) - packer.margin
+                n_win += 1 if n_k <= packer.l_out else \
+                    1 + -(-(n_k - packer.l_out) // packer.useful)
+            my_flushes = -(-(-(-n_win // my_B)) // S) if n_win else 0
+            n_flushes_target = multihost.process_max(my_flushes)
+            records = iter(records)
+
+        n_flushed = 0
         pending = []
         for bt in packer.pack(records):
             pending.append(bt)
             if len(pending) == S:
                 self._flush_stack(packer, pending)
+                n_flushed += 1
                 pending = []
         if pending:
             while len(pending) < S:  # pad to the compiled stack shape
-                pending.append(windows.WinBatch(
-                    np.zeros((B, L_buf), np.uint8),
-                    np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
-                    np.full(B, -1, np.int64), np.zeros(B, np.int32)))
+                pending.append(empty_batch())
             self._flush_stack(packer, pending)
+            n_flushed += 1
+        # lockstep padding: processes that ran out of data keep issuing
+        # empty flushes until every process has flushed the same count
+        while n_flushes_target is not None and n_flushed < n_flushes_target:
+            self._flush_stack(packer, [empty_batch() for _ in range(S)])
+            n_flushed += 1
 
     def _flush_stack(self, packer, batches) -> None:
+        from brisk_tpu.parallel import multihost
         p = self.params
-        S, B = len(batches), self.B
+        S = len(batches)
+        B = self.my_lanes if self.multihost else self.B
         codes = np.stack([bt.codes for bt in batches])
         vs = np.stack([bt.valid_start for bt in batches])
         ve = np.stack([bt.valid_end for bt in batches])
         per_flush = S * (self.n_shards * self.route_cap
                          + self.B_local * packer.l_out)
         self._ensure_room(per_flush)
-        (self.state, n_sk, n_km, n_sp, cert,
-         ends) = sharded.sharded_insert_windows(
-            self.state, jnp.asarray(codes), jnp.asarray(vs),
-            jnp.asarray(ve), k=p.k, m=p.m, b=p.b, mesh=self.mesh,
-            route_cap=self.route_cap)
+        if self.multihost:
+            gshape = (S, self.B, packer.l_buf)
+            g_codes = multihost.lane_sharded(self.mesh, gshape, codes, 1,
+                                             self.lane_offset)
+            g_vs = multihost.lane_sharded(self.mesh, gshape[:2], vs, 1,
+                                          self.lane_offset)
+            g_ve = multihost.lane_sharded(self.mesh, gshape[:2], ve, 1,
+                                          self.lane_offset)
+        else:
+            g_codes = jnp.asarray(codes)
+            g_vs = jnp.asarray(vs)
+            g_ve = jnp.asarray(ve)
+        (self.state, n_sk, n_km, n_sp, cert, ends,
+         self._chain) = sharded.sharded_insert_windows(
+            self.state, g_codes, g_vs, g_ve, self._chain,
+            k=p.k, m=p.m, b=p.b, mesh=self.mesh, route_cap=self.route_cap)
         self._n_used_ub += per_flush
         self.n_emitted += int(n_km)
         self.n_spilled += int(n_sp)
         self.n_superkmers += int(n_sk) + sum(bt.n_records for bt in batches)
 
-        # exact repair of uncertified windows (io.windows re-sync failures)
-        cert_f = np.asarray(cert).reshape(-1)
+        # exact repair of uncertified windows: consecutive failures form
+        # contiguous genome runs, each re-run as ONE streaming lane;
+        # independent runs batch across lanes (mirrors api._repair_runs).
+        # Multi-host: each process repairs ITS lane block only (records
+        # never span processes)
+        if self.multihost:
+            off, cert_l = multihost.lane_block(cert, 1)
+            assert off == self.lane_offset
+            cert_f = cert_l.reshape(-1)
+            ends_f = [multihost.lane_block(x, 1)[1].reshape(S * B)
+                      for x in ends]
+        else:
+            cert_f = np.asarray(cert).reshape(-1)
+            ends_f = [np.asarray(x).reshape(S * B) for x in ends]
         rec_f = np.concatenate([bt.rec for bt in batches])
         win_f = np.concatenate([bt.win for bt in batches])
-        ends_f = [np.asarray(x).reshape(S * B) for x in ends]
         failed = np.nonzero((~cert_f) & (rec_f >= 0))[0]
         repaired_ends = {}
         repaired_rows = []  # host uint32 (N, W) row lists
@@ -192,66 +276,156 @@ class ShardedBrisk:
             r, w = int(rec_f[j]), int(win_f[j])
             assert w > 0, "window 0 is always certified"
             if j == 0:
-                pr, pw, carry7 = self._prev_tail
-                assert (pr, pw) == (r, w - 1), "stack continuity broken"
+                assert self._prev_tail[:2] == (r, w - 1), \
+                    "stack continuity broken"
             else:
                 assert rec_f[j - 1] == r and win_f[j - 1] == w - 1
-                carry7 = end_of(j - 1)
-            s, lane = divmod(int(j), B)
-            end7, rows_np = self._rerun_window(packer, batches[s], lane,
-                                               carry7)
-            repaired_ends[int(j)] = end7
+        MAX_RUN = 64
+        runs = []
+        for j in (int(x) for x in failed):
+            if runs and runs[-1][-1] == j - 1 and len(runs[-1]) < MAX_RUN:
+                runs[-1].append(j)
+            else:
+                runs.append([j])
+        while runs:
+            blocked = {j for rr in runs for j in rr}
+            ready = [r for r in runs if r[0] - 1 not in blocked]
+            rest = [r for r in runs if r[0] - 1 in blocked]
+            carries = [self._prev_tail[2] if r[0] == 0 else end_of(r[0] - 1)
+                       for r in ready]
+            end7s, rows_np = self._rerun_runs(packer, batches, ready,
+                                              carries)
+            for r, e7 in zip(ready, end7s):
+                repaired_ends[r[-1]] = e7
             repaired_rows.append(rows_np)
-            self.n_repaired_windows += 1
+            self.n_repaired_windows += sum(len(r) for r in ready)
+            runs = rest
 
         live = np.nonzero(rec_f >= 0)[0]
         if len(live):
             j = int(live[-1])
             self._prev_tail = (int(rec_f[j]), int(win_f[j]), end_of(j))
 
-        if repaired_rows:
-            self._deliver_rows(np.concatenate(repaired_rows, axis=0))
+        if self.multihost:
+            # collective delivery every flush (peers must call in lockstep
+            # even with zero local repairs; skipped inside when the GLOBAL
+            # repair count is zero)
+            allrows = (np.concatenate(repaired_rows, axis=0)
+                       if repaired_rows else
+                       np.zeros((0, self.W), dtype=U32))
+            self._deliver_rows(allrows)
+        elif repaired_rows:
+            allrows = np.concatenate(repaired_rows, axis=0)
+            if len(allrows):
+                self._deliver_rows(allrows)
 
-    def _rerun_window(self, packer, bt, lane, carry7):
-        """Exact re-run of one window through the streaming carry path,
-        seeded with the true machine state at the end of the previous
-        window. Returns (end7, valid packed-key rows (N, W) uint32)."""
+    def _rerun_runs(self, packer, batches, runs, carries):
+        """Exact streaming re-run of runs of consecutive failed windows
+        (one contiguous genome span per run, one lane per run, one device
+        call per pass — see api.Brisk._repair_runs). Returns
+        (end7 per run's LAST window, valid packed-key rows (N, W))."""
         p = self.params
-        warmup = packer.warmup
-        codes1 = jnp.asarray(bt.codes[lane][None, warmup:])
-        carry = enum_ops.MinimizerState(
-            *(jnp.asarray(np.asarray([v])) for v in carry7))
-        ve1 = jnp.asarray([int(bt.valid_end[lane]) - warmup],
-                          dtype=jnp.int32)
+        warmup, useful, l_buf = packer.warmup, packer.useful, packer.l_buf
+        B = batches[0].codes.shape[0]  # local lane count
+        R = len(runs)
+        Rp = 1 << max(2, (R - 1).bit_length())
+        span_max = max(len(r) for r in runs)
+        L_rep = (l_buf - warmup) + (span_max - 1) * useful
+        codes = np.zeros((Rp, L_rep), dtype=np.uint8)
+        ve = np.zeros(Rp, dtype=np.int32)
+        carry_np = [np.zeros(Rp, dtype=np.asarray(c).dtype)
+                    for c in enum_ops.zero_carry(1)]
+        for i, (run, c7) in enumerate(zip(runs, carries)):
+            s0, lane0 = divmod(run[0], B)
+            pos = l_buf - warmup
+            codes[i, :pos] = batches[s0].codes[lane0][warmup:]
+            for j in run[1:]:
+                s, lane = divmod(j, B)
+                codes[i, pos:pos + useful] = \
+                    batches[s].codes[lane][l_buf - useful:]
+                pos += useful
+            s_l, lane_l = divmod(run[-1], B)
+            ve[i] = (len(run) - 1) * useful + \
+                int(batches[s_l].valid_end[lane_l]) - warmup
+            for f in range(7):
+                carry_np[f][i] = c7[f]
+        carry = enum_ops.MinimizerState(*(jnp.asarray(x)
+                                          for x in carry_np))
         em, end = enum_ops.enumerate_batch(
-            codes1, jnp.zeros(1, bool), ve1, carry, k=p.k, m=p.m, b=p.b)
+            jnp.asarray(codes), jnp.zeros(Rp, bool), jnp.asarray(ve),
+            carry, k=p.k, m=p.m, b=p.b)
         rows = store.make_keys(em.bucket.reshape(-1), em.key.reshape(4, -1),
                                em.mini_idx.reshape(-1), p.k, p.b)
-        valid = np.asarray(em.valid.reshape(-1))
+        valid = np.asarray(em.valid).reshape(-1)
         rows_np = np.asarray(rows).T[valid]
         self.n_emitted += int(valid.sum())
         self.n_superkmers += int(jnp.sum(em.boundary & em.valid))
-        end7 = tuple(np.asarray(x)[0] for x in end)
-        return end7, rows_np
+        self._repair_emitted += int(valid.sum())
+        self._repair_superkmers += int(jnp.sum(em.boundary & em.valid))
+        margin = p.k - 1
+        km = p.k - p.m
+        dede = pyref.DecyclingSet(p.m)
+        f_lo = np.asarray(em.mini_lo)
+        f_hi = np.asarray(em.mini_hi)
+        f_rc = np.asarray(em.use_rc)
+        f_mi = np.asarray(em.mini_idx)
+        f_hh = np.asarray(em.hash_hi)
+        f_hl = np.asarray(em.hash_lo)
+        end7s = []
+        for i in range(R):
+            idx = int(ve[i]) - margin - 1
+            rev = bool(f_rc[i, idx])
+            mi = int(f_mi[i, idx])
+            pos_v = (km - mi) if rev else mi
+            mini = (int(f_hi[i, idx]) << 32) | int(f_lo[i, idx])
+            heavy = dede.mem_double(mini)
+            end7s.append((np.uint32(f_lo[i, idx]), np.uint32(f_hi[i, idx]),
+                          np.uint32(pos_v), np.bool_(rev),
+                          np.uint32(heavy), np.uint32(f_hh[i, idx]),
+                          np.uint32(f_hl[i, idx])))
+        return end7s, rows_np
 
     def _deliver_rows(self, rows_np: np.ndarray) -> None:
         """Route host-built (N, W) packed-key rows to their owner shards
-        via one sharded_append_buf call."""
+        via one sharded_append_buf call.
+
+        Multi-host: a process can only materialize its OWN shards'
+        buffer blocks, so its repaired rows go to its own shards as
+        SPILL (ownership is a routing heuristic, not a correctness
+        invariant — lookups sum across shards). Buffer width is
+        synchronized across processes (collective shapes must agree)."""
+        from brisk_tpu.parallel import multihost
         p = self.params
-        bucket, _, _, _ = store.unpack_keys_np(rows_np.T, p.k, p.b)
-        dest = bucket % U32(self.n_shards)
-        cap_r = max(int(np.bincount(dest, minlength=self.n_shards).max()), 1)
-        buf = np.full((self.n_shards, cap_r, self.W), _INVALID, dtype=U32)
-        for d in range(self.n_shards):
-            rd = rows_np[dest == d]
-            buf[d, :len(rd)] = rd
-        self._ensure_room(cap_r)
-        self.state = sharded.sharded_append_buf(
-            self.state, jax.device_put(
-                jnp.asarray(buf),
+        if self.multihost:
+            n_mine = len(self.my_shards)
+            if multihost.process_max(len(rows_np)) == 0:
+                return  # no process repaired anything this flush
+            cap_r = multihost.process_max(
+                -(-max(len(rows_np), 1) // n_mine))
+            local = np.full((n_mine, cap_r, self.W), _INVALID, dtype=U32)
+            for i in range(n_mine):
+                rd = rows_np[i * cap_r:(i + 1) * cap_r]
+                local[i, :len(rd)] = rd
+            buf = multihost.lane_sharded(
+                self.mesh, (self.n_shards, cap_r, self.W), local, 0,
+                self.my_shards[0])
+            self.n_spilled += len(rows_np)
+        else:
+            bucket, _, _, _ = store.unpack_keys_np(rows_np.T, p.k, p.b)
+            dest = bucket % U32(self.n_shards)
+            cap_r = max(int(np.bincount(dest,
+                                        minlength=self.n_shards).max()), 1)
+            host_buf = np.full((self.n_shards, cap_r, self.W), _INVALID,
+                               dtype=U32)
+            for d in range(self.n_shards):
+                rd = rows_np[dest == d]
+                host_buf[d, :len(rd)] = rd
+            buf = jax.device_put(
+                jnp.asarray(host_buf),
                 jax.sharding.NamedSharding(self.mesh,
-                                           jax.sharding.PartitionSpec("x"))),
-            self.mesh)
+                                           jax.sharding.PartitionSpec("x")))
+        self._ensure_room(cap_r)
+        self.state = sharded.sharded_append_buf(self.state, buf, self.mesh)
         self._n_used_ub += cap_r
 
     # -- lookup ----------------------------------------------------------------
@@ -270,11 +444,20 @@ class ShardedBrisk:
         bucket = pyref.bucket_id(slice_hash, p)
         cols = store.pack_key_np(bucket, key, km.minimizer_idx,
                                  p.k, p.b)[:, None]
-        found, vals = sharded.sharded_lookup(self.state, jnp.asarray(cols),
+        found, vals = sharded.sharded_lookup(self.state,
+                                             self._replicated(cols),
                                              self.mesh)
         if int(found[0]):
             return int(vals[0]) % 256
         return None
+
+    def _replicated(self, host_array):
+        """Query inputs must be replicated global arrays on a
+        multi-process mesh (each process builds the same queries)."""
+        if self.multihost:
+            from brisk_tpu.parallel import multihost
+            return multihost.replicate(self.mesh, np.asarray(host_array))
+        return jnp.asarray(host_array)
 
     def get_canonical(self, kmer: str) -> Optional[int]:
         c = self.get(kmer)
@@ -299,22 +482,37 @@ class ShardedBrisk:
             rows = store.make_keys(em.bucket.reshape(-1),
                                    em.key.reshape(4, -1),
                                    em.mini_idx.reshape(-1), p.k, p.b)
-            found, vals = sharded.sharded_lookup(self.state, rows, self.mesh)
-            total += int(jnp.sum(jnp.where(
-                (found > 0) & em.valid.reshape(-1), vals % 256, 0)))
+            found, vals = sharded.sharded_lookup(
+                self.state, self._replicated(np.asarray(rows)), self.mesh)
+            found_np = np.asarray(found)  # replicated -> addressable
+            vals_np = np.asarray(vals)
+            valid_np = np.asarray(em.valid).reshape(-1)
+            total += int(np.sum(np.where((found_np > 0) & valid_np,
+                                         vals_np % 256, 0)))
         return total
 
     # -- enumeration / stats -----------------------------------------------
 
+    def _local_shards(self):
+        """(shard_id, local IndexState) for every shard THIS process can
+        address (all shards on a single host)."""
+        if self.multihost:
+            from brisk_tpu.parallel import multihost
+            yield from multihost.local_entries(self.state)
+        else:
+            for d in range(self.n_shards):
+                yield d, store.IndexState(
+                    self.state.keys[d], self.state.data[d],
+                    self.state.n_sorted[d], self.state.n_used[d])
+
     def items(self) -> Iterator[Tuple[int, int]]:
         """(kmer_value, count mod 256) per stored entry, shard by shard.
         A key split between its owner and spill shards appears once per
-        holding shard; counts_dict() aggregates."""
+        holding shard; counts_dict() aggregates. On a multi-process mesh
+        each process yields ITS shards only (a pod-wide export
+        concatenates per-process outputs, tests/multihost_worker.py)."""
         params = self.params
-        for d in range(self.n_shards):
-            local = store.IndexState(self.state.keys[d], self.state.data[d],
-                                     self.state.n_sorted[d],
-                                     self.state.n_used[d])
+        for d, local in self._local_shards():
             kmers, counts, _ = readout.entries(local, params)
             for kv, c in zip(kmers, counts):
                 yield int(kv), int(c) % 256
@@ -326,17 +524,32 @@ class ShardedBrisk:
         return agg
 
     def stats(self) -> dict:
-        n_sorted = np.asarray(self.state.n_sorted)
-        data = np.asarray(self.state.data)
-        n_live = sum(int(np.count_nonzero(data[d, :n_sorted[d]]))
-                     for d in range(self.n_shards))
+        from brisk_tpu.parallel import multihost
+        shard_entries = {}
+        n_live_local = 0
+        for d, local in self._local_shards():
+            n = int(local.n_sorted)
+            shard_entries[d] = n
+            n_live_local += int(np.count_nonzero(
+                np.asarray(local.data)[:n]))
+        n_live = multihost.process_sum(n_live_local)
+        nb_superkmers = self.n_superkmers
+        nb_emitted = self.n_emitted
+        if self.multihost:
+            # fused parts are global psums (identical everywhere); repair
+            # parts are per-process and must be summed
+            nb_superkmers = (nb_superkmers - self._repair_superkmers
+                             + multihost.process_sum(
+                                 self._repair_superkmers))
+            nb_emitted = (nb_emitted - self._repair_emitted
+                          + multihost.process_sum(self._repair_emitted))
         key_bytes = self.state.keys.nbytes + self.state.data.nbytes
         return dict(n_shards=self.n_shards, nb_kmers=n_live,
-                    nb_superkmers=self.n_superkmers,
-                    nb_emitted=self.n_emitted,
+                    nb_superkmers=nb_superkmers,
+                    nb_emitted=nb_emitted,
                     n_spilled=self.n_spilled,
                     n_repaired_windows=self.n_repaired_windows,
-                    shard_entries=[int(x) for x in n_sorted],
+                    shard_entries=shard_entries,
                     index_bytes=key_bytes,
                     bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
 
@@ -344,8 +557,27 @@ class ShardedBrisk:
 
     def save(self, path: str) -> None:
         """Sharded checkpoint: per-shard arrays with the shard axis kept,
-        so load() re-places them on any mesh of the same shard count."""
+        so load() re-places them on any mesh of the same shard count.
+
+        Multi-host: each process writes ONLY its shards to
+        `{path}.proc{pid}.npz` (no host ever holds the whole index);
+        load() on a single host reassembles all process files."""
         self._compact()
+        if self.multihost:
+            shards = {}
+            for d, local in self._local_shards():
+                shards[f"shard{d}_keys"] = np.asarray(local.keys)
+                shards[f"shard{d}_data"] = np.asarray(local.data)
+                shards[f"shard{d}_n"] = np.array(
+                    [int(local.n_sorted), int(local.n_used)])
+            np.savez_compressed(
+                f"{path}.proc{self.pid}",
+                shard_ids=np.asarray(self.my_shards),
+                n_shards=self.n_shards, n_proc=self.n_proc,
+                k=self.params.k, m=self.params.m, b=self.params.b,
+                n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
+                n_spilled=self.n_spilled, **shards)
+            return
         np.savez_compressed(
             path,
             keys=np.asarray(self.state.keys),
@@ -355,6 +587,47 @@ class ShardedBrisk:
             k=self.params.k, m=self.params.m, b=self.params.b,
             n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
             n_spilled=self.n_spilled)
+
+    @classmethod
+    def load_multihost_checkpoint(cls, path: str, mesh=None, **kw
+                                  ) -> "ShardedBrisk":
+        """Reassemble a multi-process checkpoint (`{path}.proc*.npz`) on
+        a single host with enough devices."""
+        import glob
+        files = sorted(glob.glob(f"{path}.proc*.npz"))
+        assert files, f"no {path}.proc*.npz checkpoints found"
+        parts = [np.load(f) for f in files]
+        n_shards = int(parts[0]["n_shards"])
+        params = Parameters(k=int(parts[0]["k"]), m=int(parts[0]["m"]),
+                            b=int(parts[0]["b"]))
+        cap = parts[0]["shard0_keys"].shape[1] if "shard0_keys" in \
+            parts[0] else None
+        keys = data = None
+        n_sorted = np.zeros(n_shards, np.int32)
+        n_used = np.zeros(n_shards, np.int32)
+        for z in parts:
+            for d in (int(x) for x in z["shard_ids"]):
+                kd = z[f"shard{d}_keys"]
+                if keys is None:
+                    keys = np.zeros((n_shards,) + kd.shape, np.uint32)
+                    data = np.zeros((n_shards, kd.shape[1]), np.uint32)
+                keys[d] = kd
+                data[d] = z[f"shard{d}_data"]
+                n_sorted[d], n_used[d] = (int(x) for x in
+                                          z[f"shard{d}_n"])
+        if mesh is None:
+            mesh = sharded.make_mesh(n_shards)
+        self = cls(params, mesh=mesh, capacity=keys.shape[2], **kw)
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
+        self.state = store.IndexState(
+            keys=jax.device_put(jnp.asarray(keys), sh),
+            data=jax.device_put(jnp.asarray(data), sh),
+            n_sorted=jax.device_put(jnp.asarray(n_sorted), sh),
+            n_used=jax.device_put(jnp.asarray(n_used), sh))
+        self._sync_used()
+        self.n_emitted = int(parts[0]["n_emitted"])
+        self.n_spilled = sum(int(z["n_spilled"]) for z in parts)
+        return self
 
     @classmethod
     def load(cls, path: str, mesh=None, **kw) -> "ShardedBrisk":

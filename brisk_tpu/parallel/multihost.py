@@ -87,6 +87,92 @@ def shard_batch(mesh: Mesh, host_array: np.ndarray) -> jax.Array:
                        lambda idx: host_array[idx])
 
 
+def make_global_spec(mesh: Mesh, shape, dtype, spec: P,
+                     fill: Callable[[tuple], np.ndarray]) -> jax.Array:
+    """make_global with an arbitrary PartitionSpec (e.g. P(None, 'x')
+    for lane-sharded window stacks)."""
+    shape = tuple(shape)
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(idx):
+        norm = tuple(slice(*s.indices(n)[:2]) for s, n in zip(idx, shape))
+        out = np.ascontiguousarray(fill(norm))
+        return out.reshape(tuple(s.stop - s.start for s in norm))
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
+def lane_sharded(mesh: Mesh, shape, local_block: np.ndarray,
+                 lane_axis: int, lane_offset: int) -> jax.Array:
+    """Build a global array sharded over `lane_axis` where THIS process
+    supplies only its contiguous lane block [lane_offset,
+    lane_offset + local_block.shape[lane_axis]) — the host-major
+    data-parallel input layout (each process packs only its own
+    records' windows, VERDICT r2 item 3)."""
+    spec = P(*([None] * lane_axis + ["x"]))
+
+    def fill(idx):
+        sl = idx[lane_axis]
+        lo = sl.start - lane_offset
+        hi = sl.stop - lane_offset
+        assert 0 <= lo and hi <= local_block.shape[lane_axis], \
+            (sl, lane_offset, local_block.shape)
+        sel = list(idx)
+        sel[lane_axis] = slice(lo, hi)
+        return local_block[tuple(sel)]
+
+    return make_global_spec(mesh, shape, local_block.dtype, spec, fill)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree of host scalars/arrays fully REPLICATED on a
+    (possibly multi-process) mesh — e.g. the window-continuity chain
+    carry or a query batch."""
+    def one(x):
+        x = np.asarray(x)
+        return make_global_spec(mesh, x.shape, x.dtype, P(),
+                                lambda idx: x[idx])
+
+    return jax.tree.map(one, tree)
+
+
+def lane_block(arr: jax.Array, lane_axis: int):
+    """(offset, numpy block) of THIS process's contiguous slice of a
+    lane-sharded global array (reading np.asarray on the whole array
+    would fail cross-process)."""
+    pieces = {}
+    for s in arr.addressable_shards:
+        sl = s.index[lane_axis]
+        start = sl.start if isinstance(sl, slice) else sl
+        pieces[start or 0] = np.asarray(s.data)
+    starts = sorted(pieces)
+    blocks = [pieces[st] for st in starts]
+    prev = starts[0]
+    for st, blk in zip(starts[1:], blocks[:-1]):
+        assert st == prev + blk.shape[lane_axis], "non-contiguous lanes"
+        prev = st
+    return starts[0], np.concatenate(blocks, axis=lane_axis)
+
+
+def process_max(value: int) -> int:
+    """Max of a per-process host integer across all processes (host
+    collective; single-process: identity)."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    allv = multihost_utils.process_allgather(np.asarray([value]))
+    return int(np.max(allv))
+
+
+def process_sum(value: int) -> int:
+    """Sum of a per-process host integer across all processes."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    allv = multihost_utils.process_allgather(np.asarray([value]))
+    return int(np.sum(allv))
+
+
 def local_entries(state: store.IndexState):
     """Yield (shard_id, local IndexState as numpy views) for every shard
     addressable by THIS process (for host-side readout/export; a pod

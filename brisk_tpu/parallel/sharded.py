@@ -172,26 +172,90 @@ def sharded_compact(state: store.IndexState, mesh: Mesh
     return store.IndexState(*out)
 
 
+def _chain_exact_sharded(em, end, vs_i, chain, margin: int, n_shards: int):
+    """Cross-shard version of pipeline._chain_exact: lanes are sharded
+    contiguously over the mesh axis, so lane 0 of shard d continues the
+    record of shard d-1's last lane. The equality certificate needs (a)
+    the LEFT NEIGHBOR's last-lane end state (one all_gather of 7 scalars
+    per shard) and (b) the prefix composition of the (u, q) recurrence
+    over all earlier shards (all_gather of each shard's local composition
+    + a static n_shards-long combine). All ICI-cheap: a few dozen scalars
+    per step.
+
+    chain is REPLICATED: (global last end state, exactness). Returns
+    (exact (B_local,), new_chain)."""
+    prev_end_g, prev_exact_g = chain
+    d = jax.lax.axis_index("x")
+
+    # left neighbor's last-lane end per field (shard 0 uses the carry)
+    last_ends = [jax.lax.all_gather(e[-1], "x") for e in end]  # (n,) each
+    is0 = d == 0
+
+    def left(c, g):
+        prev = g[jnp.maximum(d - 1, 0)]
+        return jnp.where(is0, jnp.asarray(c).astype(prev.dtype), prev)
+
+    lane0_pred = [left(c, g) for c, g in zip(prev_end_g, last_ends)]
+    shift = lambda p0, e: jnp.concatenate(
+        [p0[None].astype(e.dtype), e[:-1]])
+    pred = [shift(p0, e) for p0, e in zip(lane0_pred, end)]
+    eq = jnp.ones(vs_i.shape, dtype=bool)
+    for a, bfield in zip(em.replay, pred):
+        eq = eq & (a == bfield)
+    u = em.cert
+    q = eq & (vs_i != margin)
+
+    def comb(a, bb):  # bb later
+        return (bb[0] | (bb[1] & a[0]), bb[1] & a[1])
+
+    U_loc, Q_loc = jax.lax.associative_scan(comb, (u, q))
+    u_all = jax.lax.all_gather(U_loc[-1], "x")  # (n,) shard compositions
+    q_all = jax.lax.all_gather(Q_loc[-1], "x")
+    # exclusive prefix over shards < d (static loop, n_shards is small)
+    u_pre = jnp.asarray(False)
+    q_pre = jnp.asarray(True)
+    for i in range(n_shards):
+        u_c = u_all[i] | (q_all[i] & u_pre)
+        q_c = q_all[i] & q_pre
+        take = jnp.asarray(i) < d
+        u_pre = jnp.where(take, u_c, u_pre)
+        q_pre = jnp.where(take, q_c, q_pre)
+    carry_in = u_pre | (q_pre & prev_exact_g)
+    exact = U_loc | (Q_loc & carry_in)
+
+    # replicated new chain: global composition + shard n-1's last end
+    u_g = jnp.asarray(False)
+    q_g = jnp.asarray(True)
+    for i in range(n_shards):
+        u_g, q_g = u_all[i] | (q_all[i] & u_g), q_all[i] & q_g
+    exact_last = u_g | (q_g & prev_exact_g)
+    end_last = MinimizerState(*(g[n_shards - 1] for g in last_ends))
+    return exact, (end_last, exact_last)
+
+
 @partial(jax.jit, static_argnames=("k", "m", "b", "mesh", "route_cap"),
          donate_argnums=(0,))
 def sharded_insert_windows(state: store.IndexState, codes: jnp.ndarray,
                            valid_start: jnp.ndarray, valid_end: jnp.ndarray,
-                           k: int, m: int, b: int, mesh: Mesh,
+                           chain, k: int, m: int, b: int, mesh: Mesh,
                            route_cap: int):
     """Distributed insert of a stack of sequence-parallel WINDOW batches
     (io.windows) in ONE device program — the multi-chip analog of
-    pipeline.insert_windows.
+    pipeline.insert_windows_sklnative's control flow on the packed store.
 
     Global shapes: codes (S, B, L_buf) with B = n_shards * B_local lanes
     data-parallel over the mesh; valid_start/valid_end (S, B). Each shard
-    scans its own lanes, routes certified emissions to their owner shard
-    (bucket % n_shards) via all_to_all, and appends; overflow rows spill
-    to the source shard (see module doc).
+    scans its own lanes, certifies them via the unique-min + cross-shard
+    end-state equality chain (_chain_exact_sharded — this is what lets
+    k > 32 records span every chip), routes certified emissions to their
+    owner shard (bucket % n_shards) via all_to_all, and appends; overflow
+    rows spill to the source shard (see module doc). `chain` is the
+    REPLICATED continuity carry (pipeline.zero_chain() at stream start).
 
     Returns (state', n_superkmer_boundaries, n_kmers, n_spilled,
-    cert (S, B) bool, ends MinimizerState of (S, B) leaves). Uncertified
-    lanes contribute nothing; callers repair them exactly via the
-    streaming path and sharded_append_buf (see parallel.facade).
+    cert (S, B) bool, ends MinimizerState of (S, B) leaves, chain').
+    Uncertified lanes contribute nothing; callers repair them exactly via
+    the streaming path and sharded_append_buf (see parallel.facade).
 
     Capacity contract (HOST-enforced): per shard and per step the two
     appends consume n_shards*route_cap + B_local*L_out raw log slots, so
@@ -200,21 +264,25 @@ def sharded_insert_windows(state: store.IndexState, codes: jnp.ndarray,
     """
     n_shards = mesh.shape["x"]
     W = store.key_words(k, b)
+    margin = k - 1
 
-    def run(st_keys, st_data, st_ns, st_nu, codes, vs, ve):
+    def run(st_keys, st_data, st_ns, st_nu, codes, vs, ve, ch):
         local = store.IndexState(st_keys[0], st_data[0], st_ns[0], st_nu[0])
         Bl = codes.shape[1]
         fresh = jnp.ones((Bl,), dtype=bool)
         zero = enum_ops.zero_carry(Bl)
 
-        def step(st, xs):
+        def step(carry, xs):
+            st, ch = carry
             codes_i, vs_i, ve_i = xs
             em, end = enum_ops.enumerate_batch(
                 codes_i, fresh, ve_i, zero, k=k, m=m, b=b, valid_start=vs_i)
+            exact, ch = _chain_exact_sharded(em, end, vs_i, ch, margin,
+                                             n_shards)
             rows = store.make_keys(em.bucket.reshape(-1),
                                    em.key.reshape(4, -1),
                                    em.mini_idx.reshape(-1), k, b)
-            ok = (em.valid & em.cert[:, None]).reshape(-1)
+            ok = (em.valid & exact[:, None]).reshape(-1)
             buf, routed_mask = _route_local(rows, em.bucket.reshape(-1),
                                             ok, n_shards, route_cap)
             routed = jax.lax.all_to_all(buf, "x", split_axis=0,
@@ -226,34 +294,37 @@ def sharded_insert_windows(state: store.IndexState, codes: jnp.ndarray,
             spilled = ok & ~routed_mask
             st = store.append(st, rows, jnp.ones(rows.shape[1], dtype=U32),
                               spilled)
-            n_sk = jnp.sum(em.boundary & em.valid & em.cert[:, None]
+            n_sk = jnp.sum(em.boundary & em.valid & exact[:, None]
                            ).astype(jnp.int32)
-            return st, (n_sk, jnp.sum(ok).astype(jnp.int32),
-                        jnp.sum(spilled).astype(jnp.int32), em.cert, end)
+            return (st, ch), (n_sk, jnp.sum(ok).astype(jnp.int32),
+                              jnp.sum(spilled).astype(jnp.int32), exact,
+                              end)
 
-        local, (n_sks, n_kms, n_sps, certs, ends) = jax.lax.scan(
-            step, local, (codes, vs, ve))
+        (local, ch), (n_sks, n_kms, n_sps, certs, ends) = jax.lax.scan(
+            step, (local, ch), (codes, vs, ve))
         return (local.keys[None], local.data[None], local.n_sorted[None],
                 local.n_used[None],
                 jax.lax.psum(jnp.sum(n_sks), "x"),
                 jax.lax.psum(jnp.sum(n_kms), "x"),
                 jax.lax.psum(jnp.sum(n_sps), "x"),
-                certs, ends)
+                certs, ends, ch)
 
     specs_state = (P("x"), P("x"), P("x"), P("x"))
     lane = P(None, "x")
+    chain_spec = jax.tree.map(lambda _: P(), chain)
     out = jax.shard_map(
         run, mesh=mesh,
-        in_specs=specs_state + (lane, lane, lane),
+        in_specs=specs_state + (lane, lane, lane, chain_spec),
         out_specs=specs_state + (P(), P(), P(), lane,
                                  jax.tree.map(lambda _: lane,
-                                              enum_ops.zero_carry(1))),
+                                              enum_ops.zero_carry(1)),
+                                 chain_spec),
         check_vma=False,
     )(state.keys, state.data, state.n_sorted, state.n_used,
-      codes, valid_start, valid_end)
-    keys, data, ns, nu, n_sk, n_km, n_sp, certs, ends = out
+      codes, valid_start, valid_end, chain)
+    keys, data, ns, nu, n_sk, n_km, n_sp, certs, ends, chain2 = out
     return (store.IndexState(keys, data, ns, nu), n_sk, n_km, n_sp,
-            certs, ends)
+            certs, ends, chain2)
 
 
 @partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))

@@ -1,0 +1,66 @@
+"""Per-step overhead of the sharded windowed insert at n=1 vs n=8 shards
+(VERDICT r2 weak #7: nothing bounded the routing overhead). Runs on a
+virtual CPU mesh — invoke with:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/sharded_overhead.py
+
+Prints one JSON line {"step_ms_n1": ..., "step_ms_n8": ...} — the ratio
+bounds what all_to_all routing + per-shard append add over the
+single-shard program at identical per-step work.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brisk_tpu.index import store
+from brisk_tpu.io import windows
+from brisk_tpu.parallel import sharded
+
+
+def step_time(n_shards: int) -> float:
+    k, m, b = 31, 11, 8
+    mesh = sharded.make_mesh(n_shards)
+    B, l_out, S = 64, 256, 2
+    packer = windows.WindowPacker(k, m, batch=B, l_out=l_out)
+    rng = np.random.default_rng(7)
+    rec = rng.integers(0, 4, 200_000, dtype=np.uint8)
+    bts = list(packer.pack(iter([rec])))[:S]
+    cs = jnp.asarray(np.stack([bt.codes for bt in bts]))
+    vs = jnp.asarray(np.stack([bt.valid_start for bt in bts]))
+    ve = jnp.asarray(np.stack([bt.valid_end for bt in bts]))
+
+    def run():
+        from brisk_tpu.index import pipeline
+        st = sharded.sharded_empty(n_shards, 1 << 16, mesh,
+                                   store.key_words(k, b))
+        st, n_sk, n_km, n_sp, certs, _, _ch = sharded.sharded_insert_windows(
+            st, cs, vs, ve, pipeline.zero_chain(), k=k, m=m, b=b,
+            mesh=mesh, route_cap=1024)
+        return int(n_km)  # data-dependent readback = completion barrier
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return min(times) * 1000 / S
+
+
+def main():
+    t1 = step_time(1)
+    t8 = step_time(8)
+    print(json.dumps({"step_ms_n1": round(t1, 2),
+                      "step_ms_n8": round(t8, 2),
+                      "overhead_ratio_n8_vs_n1": round(t8 / t1, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,7 @@ def test_facade_insert_file_count_parity(tmp_path, mesh):
 
     st = br.stats()
     assert st["nb_kmers"] == len(exp)
-    assert sum(st["shard_entries"]) >= len(exp)
+    assert sum(st["shard_entries"].values()) >= len(exp)
 
     # sharded checkpoint round-trip
     ckpt = str(tmp_path / "ckpt.npz")

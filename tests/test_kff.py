@@ -8,8 +8,9 @@ from brisk_tpu.params import Parameters
 
 @pytest.mark.parametrize("k,m,b", [(31, 11, 8), (63, 21, 14)])
 def test_roundtrip(k, m, b, tmp_path):
+    """Per-k-mer KFF sections from the legacy packed backend."""
     idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128,
-                capacity=1 << 14)
+                capacity=1 << 14, keep_superkmers=False)
     idx.insert_file("data/test.fa")
     path = str(tmp_path / "index.kff")
     kff.write_index(path, idx.state, idx.params)

@@ -66,4 +66,16 @@ def test_two_process_count_parity(tmp_path):
         if len(seq) >= k:
             pyref.count_sequence(exp, seq, k, m, dede)
     assert results[0]["n_emitted"] == sum(len(s) - k + 1 for s in records)
+    assert results[1]["n_emitted"] == results[0]["n_emitted"]
     assert agg == exp
+
+    # the multi-host checkpoint (one file per process, shared prefix)
+    # reassembles on a single "host" with the same global counts
+    from brisk_tpu.parallel.facade import ShardedBrisk
+    sb = ShardedBrisk.load_multihost_checkpoint(str(tmp_path / "ckpt"),
+                                                n_devices=8)
+    agg2 = {}
+    for kv, c in sb.items():
+        agg2[kv] = (agg2.get(kv, 0) + c) % 256
+    agg2 = {kv: c for kv, c in agg2.items() if c}
+    assert agg2 == exp

@@ -149,7 +149,8 @@ def expanded_counts(st, k, m, b):
 
 
 def brisk_key_counts(br):
-    """Per-packed-key counts from the per-kmer store (ground truth)."""
+    """Per-packed-key counts from a PACKED-backend Brisk (ground truth:
+    keep_superkmers=False runs the per-kmer store path)."""
     st = store.compact(br.state)
     n = int(st.n_sorted)
     keys = np.asarray(st.keys)[:, :n]
@@ -159,8 +160,9 @@ def brisk_key_counts(br):
 
 
 def test_brisk_windowed_skl_parity():
-    """Brisk with keep_superkmers: the finalized skl arena expands to
-    exactly the per-kmer store's key counts (windowed path + repairs)."""
+    """Brisk skl-native backend (the default) must hold exactly the
+    per-packed-key counts that the legacy packed backend computes for the
+    same input (windowed path + repairs)."""
     from brisk_tpu.api import Brisk
     from brisk_tpu.params import Parameters
     k, m, b = 31, 11, 8
@@ -168,7 +170,10 @@ def test_brisk_windowed_skl_parity():
     br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
     br.insert_sequence(seq)
     br.finalize()
-    exp = brisk_key_counts(br)
+    ref = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2,
+                keep_superkmers=False)
+    ref.insert_sequence(seq)
+    exp = brisk_key_counts(ref)
     got = expanded_counts(br.skl, k, m, b)
     assert got == exp
     s = br.skl_stats()
@@ -181,10 +186,13 @@ def test_brisk_streaming_skl_parity_k63():
     k, m, b = 63, 21, 14
     seqs = [rand_seq(400), rand_seq(70)]
     br = Brisk(Parameters(k=k, m=m, b=b), batch=2, window=64)
+    ref = Brisk(Parameters(k=k, m=m, b=b), batch=2, window=64,
+                keep_superkmers=False)
     for s in seqs:
         br.insert_sequence(s)
+        ref.insert_sequence(s)
     br.finalize()
-    exp = brisk_key_counts(br)
+    exp = brisk_key_counts(ref)
     got = expanded_counts(br.skl, k, m, b)
     assert got == exp
 
@@ -213,14 +221,19 @@ def test_reallocate_rebuilds_skl():
     from brisk_tpu.api import Brisk
     from brisk_tpu.params import Parameters
     k, m, b = 31, 11, 8
+    seq = rand_seq(400)
     br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
-    br.insert_sequence(rand_seq(400))
+    br.insert_sequence(seq)
     before = br.counts_dict()
     br.reallocate()
     assert br.params.m == m + 2
     assert br.counts_dict() == before
+    ref = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2,
+                keep_superkmers=False)
+    ref.insert_sequence(seq)
+    ref.reallocate()
     got = expanded_counts(br.skl, br.params.k, br.params.m, br.params.b)
-    exp = brisk_key_counts(br)
+    exp = brisk_key_counts(ref)
     assert got == exp
 
 

@@ -81,12 +81,31 @@ def test_window_coverage():
         assert covered == list(range(n - k + 1)), n
 
 
-def test_window_packer_rejects_k_gt_32():
-    """k > 32 breaks the re-sync certificate (reference truncation quirk,
-    Kmers.cpp:371) — the packer must refuse, and Brisk falls back to the
-    streaming path."""
-    with pytest.raises(ValueError):
-        WindowPacker(63, 21, batch=4, l_out=64)
+def test_windowed_k63_equality_cert_parity():
+    """k > 32 windows certify via the end-state EQUALITY certificate
+    (pipeline._chain_exact) — the truncation quirk defeats the unique-min
+    cert but never enters the equality argument. A single long k=63 record
+    must spread over all lanes with exact counts (VERDICT r2 item 4)."""
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    k, m, b = 63, 21, 14
+    seq = rand_seq(4000)
+    br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=192, stack=2)
+    br.insert_sequence(seq)
+    exp = {}
+    dede = pyref.DecyclingSet(m)
+    for rec, _, _ in pyref.scan_emissions(seq, k, m, dede):
+        exp[rec.kmer] = (exp.get(rec.kmer, 0) + 1) % 256
+    assert br.counts_dict() == exp
+    assert br.n_emitted == len(seq) - k + 1
+    # the equality cert certifies a solid fraction in-program (the
+    # truncation quirk starves it, so ~half repair at k=63) and the
+    # repairs are BATCHED — few device calls, not one per window
+    n_windows = -(-(len(seq) - k + 1) // (192 - default_warmup(k, m)))
+    assert 0 < br.n_repaired_windows < n_windows, (
+        br.n_repaired_windows, n_windows)
+    assert br.n_repair_batches <= 8, (br.n_repair_batches,
+                                      br.n_repaired_windows)
 
 
 @pytest.mark.parametrize("k,m,b", [(31, 11, 8), (21, 9, 6), (15, 7, 5)])
@@ -145,8 +164,8 @@ def test_insert_windows_count_parity():
     vs = jnp.asarray(np.stack([bt.valid_start for bt in batches]))
     ve = jnp.asarray(np.stack([bt.valid_end for bt in batches]))
     st = store.empty(1 << 14, store.key_words(k, b))
-    st, n_sk, n_km, cert, _ = pipeline.insert_windows(st, codes, vs, ve,
-                                                      k=k, m=m, b=b)
+    st, n_sk, n_km, cert, _, _ = pipeline.insert_windows(
+        st, codes, vs, ve, pipeline.zero_chain(), k=k, m=m, b=b)
     st = store.compact(st)
     total_kmers = sum(len(r) - k + 1 for r in records)
     # random data: every window certifies, nothing dropped
