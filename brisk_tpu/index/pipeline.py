@@ -235,3 +235,50 @@ def insert_windows_sklnative(skl, codes: jnp.ndarray,
         step, (skl, chain), (codes, valid_start, valid_end))
     return (skl, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, ovfs,
             skl.n_rows + jnp.int32(0), chain)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "width"),
+         donate_argnums=(0,))
+def insert_windows_payload(state, codes: jnp.ndarray,
+                           valid_start: jnp.ndarray,
+                           valid_end: jnp.ndarray, pos0: jnp.ndarray,
+                           chain, k: int, m: int, b: int, width: int):
+    """Sequence-parallel windowed insert for GENERIC payload states
+    (index.payload, the `Brisk<DATA>` analog): per emission, lane 0 gets
+    +1 (count) and lanes 1.. get the k-mer's RECORD POSITION
+    pos0[lane] + (p - margin) — the canonical (count, position) payload;
+    merge semantics are applied by payload.compact's lane kinds.
+
+    codes/valid_start/valid_end: (S, B, L_buf)/(S, B); pos0 (S, B) u32 is
+    each window's first k-mer index within its record (win * useful).
+    Same window-continuity chain as insert_windows. Returns (state',
+    n_km, cert, ends, chain')."""
+    from brisk_tpu.index import payload as payload_mod
+
+    S, B, L_buf = codes.shape
+    margin = k - 1
+    fresh = jnp.ones((B,), dtype=bool)
+    zero = enum_ops.zero_carry(B)
+    pos_idx = jnp.arange(margin, L_buf, dtype=jnp.uint32)[None, :]
+
+    def step(carry, xs):
+        st, ch = carry
+        codes_i, vs_i, ve_i, pos0_i = xs
+        em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
+                                           k=k, m=m, b=b, valid_start=vs_i)
+        exact, ch = _chain_exact(em, end, vs_i, ch, margin)
+        rows = store.make_keys(em.bucket.reshape(-1),
+                               em.key.reshape(4, -1),
+                               em.mini_idx.reshape(-1), k, b)
+        valid = (em.valid & exact[:, None]).reshape(-1)
+        pos = (pos0_i[:, None] + (pos_idx - jnp.uint32(margin))).reshape(-1)
+        vals = jnp.concatenate(
+            [jnp.ones((1, rows.shape[1]), dtype=jnp.uint32)]
+            + [pos[None]] * (width - 1))
+        st = payload_mod.append(st, rows, vals, valid)
+        n_km = jnp.sum(valid).astype(jnp.int32)
+        return (st, ch), (n_km, exact, end)
+
+    (state, chain), (n_kms, certs, ends) = jax.lax.scan(
+        step, (state, chain), (codes, valid_start, valid_end, pos0))
+    return state, jnp.sum(n_kms), certs, ends, chain

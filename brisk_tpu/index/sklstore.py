@@ -393,8 +393,16 @@ def expand_keys(state: SklState, k: int, m: int, b: int,
             np.concatenate(out_slot))
 
 
-def finalize(state: SklState, k: int, m: int, b: int,
-             bucket_sort: bool = True) -> SklState:
+def finalize(state: SklState, k: int, m: int, b: int) -> SklState:
+    """Consolidate duplicate k-mer counts, drop dead rows, group rows by
+    bucket. Delegates to the device-resident pipeline (finalize_device);
+    finalize_host below is the reference implementation kept for
+    cross-checking in tests."""
+    return finalize_device(state, k, m, b)
+
+
+def finalize_host(state: SklState, k: int, m: int, b: int,
+                  bucket_sort: bool = True) -> SklState:
     """Consolidate duplicate k-mer counts across rows and drop dead rows.
 
     Per duplicated k-mer the total lands on ONE slot (the first in
@@ -494,26 +502,265 @@ def finalize(state: SklState, k: int, m: int, b: int,
         n_fin_rows=jnp.int32(nr), n_fin_kmers=jnp.int32(total_k))
 
 
+# -- device-resident finalize -------------------------------------------
+#
+# The host-orchestrated finalize above moves the whole expansion through
+# host memory; on the tunneled TPU runtime that is ~12 MB/s and dominated
+# e2e (184 s of a 197 s finalize at 50 Mb). The device pipeline below
+# keeps every per-slot array in HBM: the host sees only scalars. NO
+# gathers/scatters anywhere (pathological on this backend): ragged joins
+# are sort-merge joins, dense placements are live-first sorts + slice
+# writes.
+
+_BIGROW = U32(0x7FFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
+         donate_argnums=(0, 1, 2))
+def _expand_append(out_keys, out_srow, out_sj, n_slots,
+                   bucket_c, meta_c, nucs_c, chunk_start,
+                   k: int, m: int, b: int, s_max: int):
+    """Expand one row chunk to per-slot packed keys and DENSE-append the
+    live slots (live-first sort; the dead tail is overwritten by the
+    next chunk). Dense slot order == arena slot order (rows ascending, j
+    ascending within a row), so slot t of a finalized arena prefix
+    aligns with data[t] — the no-gather invariant _base_counts relies
+    on."""
+    R = bucket_c.shape[0]
+    ones = jnp.ones((R, s_max), dtype=U32)
+    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
+                                   k=k, m=m, b=b, s_max=s_max)
+    W = keys.shape[0]
+    n = R * s_max
+    srow = chunk_start + jnp.repeat(jnp.arange(R, dtype=U32), s_max)
+    sj = jnp.tile(jnp.arange(s_max, dtype=U32), R)
+    order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
+    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W))
+                       + (srow, sj), num_keys=1)
+    live_s = out[0] != _INVALID
+    keys_s = tuple(jnp.where(live_s, kk, _INVALID) for kk in out[1:1 + W])
+    srow_s = jnp.where(live_s, out[1 + W], _BIGROW)
+    sj_s = out[2 + W]
+    n_live = jnp.sum(val).astype(jnp.int32)
+    out_keys = jax.lax.dynamic_update_slice(
+        out_keys, jnp.stack(keys_s), (jnp.int32(0), n_slots))
+    out_srow = jax.lax.dynamic_update_slice(out_srow, srow_s, (n_slots,))
+    out_sj = jax.lax.dynamic_update_slice(out_sj, sj_s, (n_slots,))
+    return out_keys, out_srow, out_sj, n_slots + n_live
+
+
+@jax.jit
+def _base_counts(srow, n_slots, n_fin_kmers, data):
+    """Per dense slot t: finalized rows are the arena prefix and expand
+    to exactly the dense slots [0, n_fin_kmers), so the base count is
+    data[t] there and 1 for fresh live slots — an iota compare, no
+    gather."""
+    S2 = srow.shape[0]
+    t = jnp.arange(S2)
+    data_p = jnp.zeros((S2,), dtype=U32)
+    ncopy = min(data.shape[0], S2)
+    data_p = jax.lax.dynamic_update_slice(data_p, data[:ncopy], (0,))
+    return jnp.where(t < n_fin_kmers, data_p,
+                     jnp.where(t < n_slots, U32(1), U32(0)))
+
+
+def expand_device(state: SklState, k: int, m: int, b: int,
+                  chunk_rows: int = 1 << 18):
+    """Whole-arena expansion, device-resident. Returns (keys (W, S2)
+    INVALID-padded, slot_row (S2,), slot_j (S2,), base counts (S2,),
+    n_slots device scalar, total_k int)."""
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    W = store.key_words(k, b)
+    n = int(state.n_rows)
+    sizes = jnp.where(state.bucket[:n] != _INVALID,
+                      state.meta[:n] & U32(0xFF), 0) if n else None
+    total_k = int(jnp.sum(sizes)) if n else 0
+    CH = min(chunk_rows, 1 << max(8, (max(n, 1) - 1).bit_length()))
+    # each dense append writes a FULL chunk block (CH*s_max wide, live
+    # slots first) at the tail, so the buffer needs that much headroom
+    S2 = 1 << max(12, (max(total_k + CH * s_max, 1) - 1).bit_length())
+    out_keys = jnp.full((W, S2), _INVALID, dtype=U32)
+    out_srow = jnp.full((S2,), _BIGROW, dtype=U32)
+    out_sj = jnp.zeros((S2,), dtype=U32)
+    n_slots = jnp.int32(0)
+    for start in range(0, n, CH):
+        end = min(start + CH, n)
+        pad = CH - (end - start)
+        bucket_c = state.bucket[start:end]
+        meta_c = state.meta[start:end]
+        nucs_c = state.nucs[:, start:end]
+        if pad:
+            bucket_c = jnp.pad(bucket_c, (0, pad),
+                               constant_values=np.uint32(0xFFFFFFFF))
+            meta_c = jnp.pad(meta_c, (0, pad))
+            nucs_c = jnp.pad(nucs_c, ((0, 0), (0, pad)))
+        out_keys, out_srow, out_sj, n_slots = _expand_append(
+            out_keys, out_srow, out_sj, n_slots, bucket_c, meta_c,
+            nucs_c, U32(start), k=k, m=m, b=b, s_max=s_max)
+    counts = _base_counts(out_srow, n_slots,
+                          jnp.int32(int(state.n_fin_kmers)), state.data)
+    return out_keys, out_srow, out_sj, counts, n_slots, total_k
+
+
+@jax.jit
+def _consolidate_dense(keys, srow, sj, cnt):
+    """Sort all slots by key (ties: arena order), land each duplicate
+    run's total on its FIRST slot, return totals re-aligned to arena
+    slot order (the (srow, sj) back-sort). INVALID padding slots sort to
+    the end and get zero totals."""
+    W = keys.shape[0]
+    S2 = srow.shape[0]
+    ops = tuple(keys[i] for i in range(W)) + (srow, sj, cnt)
+    out = jax.lax.sort(ops, num_keys=W + 2)
+    skeys, s_row, s_j, scnt = out[:W], out[W], out[W + 1], out[W + 2]
+    first = jnp.zeros(S2, dtype=bool).at[0].set(True)
+    neq = jnp.zeros(S2, dtype=bool)
+    for i in range(W):
+        neq = neq | (skeys[i] != jnp.roll(skeys[i], 1))
+    first = first | neq
+    csum = jnp.cumsum(scnt, dtype=jnp.uint32)
+    is_last = jnp.roll(first, -1).at[-1].set(True)
+    last_csum = jax.lax.cummin(
+        jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
+    totals = jnp.where(first, last_csum - (csum - scnt), 0)
+    back = jax.lax.sort((s_row, s_j, totals), num_keys=2)
+    return back[2]  # (S2,) arena-slot-order totals
+
+
+@partial(jax.jit, static_argnames=("nw",), donate_argnums=(0, 1, 2))
+def _rebuild_rows(bucket, meta, nucs, arena_counts, srow, n_rows,
+                  nw: int):
+    """Drop rows whose every slot count is zero, re-order survivors
+    grouped by bucket (stable in arena order), and permute the per-slot
+    counts into the new row order. Sort-merge joins everywhere; no
+    gathers.
+
+    Returns (bucket', meta', nucs', data' (S2,), offs' (rcap,), n_keep,
+    total_k)."""
+    rcap = bucket.shape[0]
+    S2 = srow.shape[0]
+    r_iota = jnp.arange(rcap, dtype=U32)
+    live_row = (bucket != _INVALID) & (r_iota < n_rows.astype(U32))
+
+    # per-row any(count > 0): merge one tag0 record PER ARENA ROW with
+    # the slot records (tag1); a reverse segmented OR flows each row
+    # segment's value onto its tag0 record (tag0 sorts first in its
+    # segment); extracting tag0 records sorted by row id realigns the
+    # result with arena row order (ids are distinct 0..rcap-1)
+    m_row = jnp.concatenate([r_iota, srow])
+    m_tag = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
+                             jnp.ones(S2, dtype=U32)])
+    m_val = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
+                             (arena_counts > 0).astype(U32)])
+    ms_row, ms_tag, ms_val = jax.lax.sort((m_row, m_tag, m_val),
+                                          num_keys=2)
+    seg_first = jnp.zeros(rcap + S2, dtype=bool).at[0].set(True)
+    seg_first = seg_first | (ms_row != jnp.roll(ms_row, 1))
+    seg_last = jnp.roll(seg_first, -1).at[-1].set(True)
+
+    def or_back(a, bb):  # reverse scan: bb is the EARLIER element
+        av, af = a
+        bv, bf = bb
+        return (bv | jnp.where(bf, 0, av), af | bf)
+
+    seg_or, _ = jax.lax.associative_scan(or_back, (ms_val, seg_last),
+                                         reverse=True)
+    key0 = jnp.where(ms_tag == 0, ms_row, _INVALID)
+    ex = jax.lax.sort((key0, seg_or), num_keys=1)
+    any_live = jax.lax.dynamic_slice(ex[1], (0,), (rcap,)) > 0
+    keep = live_row & any_live
+
+    # row compaction + bucket grouping (stable by arena order)
+    keepkey = jnp.where(keep, U32(0), U32(1))
+    bsort = jnp.where(keep, bucket, _INVALID)
+    rs = jax.lax.sort((keepkey, bsort, r_iota, meta)
+                      + tuple(nucs[i] for i in range(nw)), num_keys=3)
+    new_bucket = jnp.where(rs[0] == 0, rs[1], _INVALID)
+    old_idx = rs[2]
+    new_meta = rs[3]
+    new_nucs = jnp.stack(rs[4:4 + nw])
+    n_keep = jnp.sum(keep).astype(jnp.int32)
+    rank = jnp.arange(rcap, dtype=U32)
+    kept_rank = rank < n_keep.astype(U32)
+    new_sizes = jnp.where(kept_rank, new_meta & U32(0xFF), 0)
+    csz = jnp.cumsum(new_sizes, dtype=jnp.uint32)
+    offs = jnp.where(kept_rank, csz - new_sizes, 0).astype(U32)
+    total_k = csz[-1]
+
+    # per-slot new row rank: sort-merge join of (old_idx -> rank, tag0)
+    # with the slot records (tag1); every segment STARTS with either its
+    # tag0 record (kept row) or a tag1 slot (dropped row), and the fill
+    # scan re-seeds at every segment start, so dropped rows''' slots get
+    # INVALID and sort to the tail
+    j_row = jnp.concatenate([jnp.where(kept_rank, old_idx, _BIGROW), srow])
+    j_tag = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
+                             jnp.ones(S2, dtype=U32)])
+    j_payload = jnp.concatenate([jnp.where(kept_rank, rank, _INVALID),
+                                 jnp.zeros(S2, dtype=U32)])
+    j_cnt = jnp.concatenate([jnp.zeros(rcap, dtype=U32), arena_counts])
+    j_t = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
+                           jnp.arange(S2, dtype=U32)])
+    js_row, js_tag, js_payload, js_cnt, js_t = jax.lax.sort(
+        (j_row, j_tag, j_payload, j_cnt, j_t), num_keys=2)
+    sfirst = jnp.zeros(rcap + S2, dtype=bool).at[0].set(True)
+    sfirst = sfirst | (js_row != jnp.roll(js_row, 1))
+    seed = jnp.where(js_tag == 0, js_payload, _INVALID)
+
+    def fill(a, bb):  # forward scan: bb is the LATER element
+        av, af = a
+        bv, bf = bb
+        return (jnp.where(bf, bv, av), af | bf)
+
+    filled, _ = jax.lax.associative_scan(fill, (seed, sfirst))
+    slot_rank = jnp.where(js_tag == 1, filled, _INVALID)
+    fs = jax.lax.sort((slot_rank, js_t, js_cnt), num_keys=2)
+    new_data = jax.lax.dynamic_slice(fs[2], (0,), (S2,))
+    return (new_bucket, new_meta, new_nucs, new_data, offs, n_keep,
+            total_k.astype(jnp.int32))
+
+
+def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
+    """Device-resident finalize: consolidate duplicate k-mer counts,
+    drop dead rows, group rows by bucket — everything in HBM; the host
+    reads only scalars (the transfer-bound host finalize above moved
+    ~2 GB over a ~12 MB/s tunnel)."""
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    n = int(state.n_rows)
+    if n == 0:
+        return empty(state.bucket.shape[0], state.data.shape[0], nw)
+    keys, srow, sj, counts, n_slots, total_ub = expand_device(
+        state, k, m, b)
+    arena_counts = _consolidate_dense(keys, srow, sj, counts)
+    (bucket, meta, nucs, data, offs, n_keep,
+     total_k) = _rebuild_rows(state.bucket, state.meta, state.nucs,
+                              arena_counts, srow, state.n_rows, nw=nw)
+    nk = int(n_keep)
+    tk = int(total_k)
+    # size the data arena to a pow2 >= total_k
+    kcap = 1 << max(14, (max(tk, 1) - 1).bit_length())
+    if kcap < data.shape[0]:
+        data = jax.lax.dynamic_slice(data, (0,), (kcap,))
+    elif kcap > data.shape[0]:
+        data = jnp.pad(data, (0, kcap - data.shape[0]))
+    return SklState(bucket=bucket, meta=meta, nucs=nucs, data=data,
+                    offs=offs, n_rows=jnp.int32(nk),
+                    n_fin_rows=jnp.int32(nk), n_fin_kmers=jnp.int32(tk))
+
+
 # -- serving lookups from the finalized arena (C8 as the backing store) --
 
 def expanded_state(state: SklState, k: int, m: int, b: int):
     """TRANSIENT per-k-mer sorted view of the (finalized) arena for batch
-    queries: expand every slot to its packed key + count, sort and
-    consolidate into a store.IndexState that store.lookup can binary
-    search. This is working memory for the duration of a query batch, not
-    resident index state (the resident index is the arena itself —
-    ~(8+4*nw)/avg_size + 4 bytes per k-mer)."""
-    keys, cnt, slot = expand_keys(state, k, m, b)
-    n = keys.shape[1]
-    W = keys.shape[0]
-    cap = 1 << max(10, (max(n, 1) - 1).bit_length())
-    pad = cap - n
-    keys_p = np.pad(keys, ((0, 0), (0, pad)),
-                    constant_values=np.uint32(0xFFFFFFFF))
-    cnt_p = np.pad(cnt, (0, pad))
-    st = store.IndexState(
-        keys=jnp.asarray(keys_p), data=jnp.asarray(cnt_p),
-        n_sorted=jnp.int32(0), n_used=jnp.int32(n))
+    queries: expand every slot to its packed key + count (device-resident,
+    expand_device), sort and consolidate into a store.IndexState that
+    store.lookup can binary search. This is working memory for the
+    duration of a query batch, not resident index state (the resident
+    index is the arena itself — ~(8+4*nw)/avg_size + 4 bytes per
+    k-mer)."""
+    keys, srow, sj, counts, n_slots, total_k = expand_device(state, k, m, b)
+    st = store.IndexState(keys=keys, data=counts,
+                          n_sorted=jnp.int32(0),
+                          n_used=n_slots)
     return store.compact_fast(st)
 
 

@@ -46,7 +46,7 @@ class ShardedBrisk:
     def __init__(self, params: Parameters, mesh=None, n_devices: int = None,
                  batch_per_shard: int = 64, window: int = 256,
                  stack: int = 4, route_cap: int = None,
-                 capacity: int = 1 << 16):
+                 capacity: int = 1 << 16, keep_superkmers: bool = True):
         from brisk_tpu.parallel import multihost
         if mesh is None:
             if jax.process_count() > 1:
@@ -90,10 +90,50 @@ class ShardedBrisk:
         self.n_superkmers = 0
         self.n_spilled = 0
         self.n_repaired_windows = 0
+        self.n_skl_overflows = 0
         # repair contributions are per-process (multihost stats() sums
         # them across processes; the fused parts are already global psums)
         self._repair_emitted = 0
         self._repair_superkmers = 0
+        # per-shard compacted super-k-mer arenas (C8 at pod scale,
+        # VERDICT r2 item 5); like api.Brisk they are consolidated lazily
+        self.keep_superkmers = keep_superkmers
+        self.skl = None
+        self._skl_dirty = False
+        self._skl_rows_ub = 0   # upper bound on max-shard skl n_rows
+        if keep_superkmers:
+            from brisk_tpu.index import sklstore
+            self.skl_row_cap = max(16, self.window // 4)
+            self.skl_route_cap = batch_per_shard * self.skl_row_cap
+            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
+            self._skl_nw = nw
+            per_flush = stack * (self.n_shards * self.skl_route_cap
+                                 + batch_per_shard * self.skl_row_cap)
+            rcap = 1 << max(12, (2 * per_flush - 1).bit_length())
+            if self.multihost:
+                from brisk_tpu.index import sklstore
+                from brisk_tpu.parallel import multihost as mh
+
+                def mk(shape, dt, fillval):
+                    return mh.make_global(
+                        mesh, shape, dt,
+                        lambda idx: np.full(
+                            tuple(s.stop - s.start for s in idx),
+                            fillval, dtype=dt))
+
+                n = self.n_shards
+                self.skl = sklstore.SklState(
+                    bucket=mk((n, rcap), np.uint32, 0xFFFFFFFF),
+                    meta=mk((n, rcap), np.uint32, 0),
+                    nucs=mk((n, nw, rcap), np.uint32, 0),
+                    data=mk((n, 1 << 12), np.uint32, 0),
+                    offs=mk((n, rcap), np.uint32, 0),
+                    n_rows=mk((n,), np.int32, 0),
+                    n_fin_rows=mk((n,), np.int32, 0),
+                    n_fin_kmers=mk((n,), np.int32, 0))
+            else:
+                self.skl = sharded.sharded_skl_empty(self.n_shards, rcap,
+                                                     1 << 12, nw, mesh)
 
     # -- capacity (host-enforced; see sharded_insert_windows contract) ------
 
@@ -116,6 +156,18 @@ class ShardedBrisk:
             cap *= 2
         if cap != self._cap():
             self.state = sharded.sharded_grow(self.state, cap, self.mesh)
+
+    def _ensure_skl_room(self, rows_per_shard: int) -> None:
+        rcap = self.skl.bucket.shape[1]
+        if self._skl_rows_ub + rows_per_shard <= rcap:
+            return
+        self._skl_rows_ub = int(jnp.max(self.skl.n_rows))
+        target = rcap
+        while self._skl_rows_ub + rows_per_shard > target:
+            target *= 2
+        if target != rcap:
+            self.skl = sharded.sharded_skl_grow(self.skl, target,
+                                                self.mesh)
 
     # -- insertion -----------------------------------------------------------
 
@@ -238,10 +290,25 @@ class ShardedBrisk:
             g_codes = jnp.asarray(codes)
             g_vs = jnp.asarray(vs)
             g_ve = jnp.asarray(ve)
-        (self.state, n_sk, n_km, n_sp, cert, ends,
-         self._chain) = sharded.sharded_insert_windows(
-            self.state, g_codes, g_vs, g_ve, self._chain,
-            k=p.k, m=p.m, b=p.b, mesh=self.mesh, route_cap=self.route_cap)
+        if self.keep_superkmers:
+            self._ensure_skl_room(S * (self.n_shards * self.skl_route_cap
+                                       + self.B_local * self.skl_row_cap))
+            (self.state, self.skl, n_sk, n_km, n_sp, cert, ends, ovf,
+             self._chain) = sharded.sharded_insert_windows_skl(
+                self.state, self.skl, g_codes, g_vs, g_ve, self._chain,
+                k=p.k, m=p.m, b=p.b, mesh=self.mesh,
+                route_cap=self.route_cap, row_cap=self.skl_row_cap,
+                skl_route_cap=self.skl_route_cap)
+            self._skl_rows_ub += S * (self.n_shards * self.skl_route_cap
+                                      + self.B_local * self.skl_row_cap)
+            self._skl_dirty = True
+        else:
+            (self.state, n_sk, n_km, n_sp, cert, ends,
+             self._chain) = sharded.sharded_insert_windows(
+                self.state, g_codes, g_vs, g_ve, self._chain,
+                k=p.k, m=p.m, b=p.b, mesh=self.mesh,
+                route_cap=self.route_cap)
+            ovf = None
         self._n_used_ub += per_flush
         self.n_emitted += int(n_km)
         self.n_spilled += int(n_sp)
@@ -287,17 +354,20 @@ class ShardedBrisk:
                 runs[-1].append(j)
             else:
                 runs.append([j])
+        repaired_skl = []
         while runs:
             blocked = {j for rr in runs for j in rr}
             ready = [r for r in runs if r[0] - 1 not in blocked]
             rest = [r for r in runs if r[0] - 1 in blocked]
             carries = [self._prev_tail[2] if r[0] == 0 else end_of(r[0] - 1)
                        for r in ready]
-            end7s, rows_np = self._rerun_runs(packer, batches, ready,
-                                              carries)
+            end7s, rows_np, sklrows_np = self._rerun_runs(
+                packer, batches, ready, carries)
             for r, e7 in zip(ready, end7s):
                 repaired_ends[r[-1]] = e7
             repaired_rows.append(rows_np)
+            if sklrows_np is not None:
+                repaired_skl.append(sklrows_np)
             self.n_repaired_windows += sum(len(r) for r in ready)
             runs = rest
 
@@ -305,6 +375,21 @@ class ShardedBrisk:
         if len(live):
             j = int(live[-1])
             self._prev_tail = (int(rec_f[j]), int(win_f[j]), end_of(j))
+
+        # skl-overflow lanes (certified, but > row_cap segments): rebuild
+        # their rows at full width and deliver alongside repairs
+        if ovf is not None:
+            if self.multihost:
+                _, ovf_l = multihost.lane_block(ovf, 1)
+                ovf_f = ovf_l.reshape(-1)
+            else:
+                ovf_f = np.asarray(ovf).reshape(-1)
+            ovf_lanes = np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]
+            if len(ovf_lanes):
+                repaired_skl.append(
+                    self._rebuild_overflow_rows(packer, batches,
+                                                ovf_lanes))
+                self.n_skl_overflows += len(ovf_lanes)
 
         if self.multihost:
             # collective delivery every flush (peers must call in lockstep
@@ -318,6 +403,12 @@ class ShardedBrisk:
             allrows = np.concatenate(repaired_rows, axis=0)
             if len(allrows):
                 self._deliver_rows(allrows)
+        if self.keep_superkmers:
+            skl_all = (np.concatenate(repaired_skl, axis=0)
+                       if repaired_skl else
+                       np.zeros((0, 2 + self._skl_nw), dtype=U32))
+            if self.multihost or len(skl_all):
+                self._deliver_skl_rows(skl_all)
 
     def _rerun_runs(self, packer, batches, runs, carries):
         """Exact streaming re-run of runs of consecutive failed windows
@@ -358,6 +449,9 @@ class ShardedBrisk:
                                em.mini_idx.reshape(-1), p.k, p.b)
         valid = np.asarray(em.valid).reshape(-1)
         rows_np = np.asarray(rows).T[valid]
+        sklrows_np = None
+        if self.keep_superkmers:
+            sklrows_np = self._skl_rows_np(em, em.valid)
         self.n_emitted += int(valid.sum())
         self.n_superkmers += int(jnp.sum(em.boundary & em.valid))
         self._repair_emitted += int(valid.sum())
@@ -383,7 +477,95 @@ class ShardedBrisk:
                           np.uint32(pos_v), np.bool_(rev),
                           np.uint32(heavy), np.uint32(f_hh[i, idx]),
                           np.uint32(f_hl[i, idx])))
-        return end7s, rows_np
+        return end7s, rows_np, sklrows_np
+
+    def _skl_rows_np(self, em, valid) -> np.ndarray:
+        """Full-width skl row assembly for repair/overflow emissions ->
+        host (N, 2+nw) live row records (first emission per lane starts a
+        segment; rows split at repair seams exactly as in api.Brisk)."""
+        from brisk_tpu.index import sklstore
+        p = self.params
+        L_out = em.valid.shape[1]
+        margin = p.k - 1
+        pos = jnp.arange(margin, margin + L_out, dtype=jnp.uint32)[None, :]
+        va = np.asarray(valid)
+        first_valid = np.zeros_like(va)
+        for lane in range(va.shape[0]):
+            nz = np.nonzero(va[lane])[0]
+            if len(nz):
+                first_valid[lane, nz[0]] = True
+        rb, rm, rn, ovf = sklstore.rows_from_emissions(
+            em.key, em.bucket, em.mini_idx, em.use_rc, valid,
+            jnp.asarray(first_valid), em.boundary, p.k, p.m, p.b, L_out)
+        assert not bool(np.any(np.asarray(ovf)))
+        rb_f = np.asarray(rb).reshape(-1)
+        live = rb_f != _INVALID
+        rm_f = np.asarray(rm).reshape(-1)[live]
+        rn_f = np.asarray(rn).reshape(rn.shape[0], -1)[:, live]
+        return np.concatenate([rb_f[live][None], rm_f[None], rn_f],
+                              axis=0).T.astype(U32)
+
+    def _rebuild_overflow_rows(self, packer, batches, lanes) -> np.ndarray:
+        """Re-run certified skl-overflow lanes at full width (their
+        k-mers were inserted by the fused program; only their rows were
+        withheld). Windowed single batch, one device call."""
+        p = self.params
+        B = batches[0].codes.shape[0]
+        R = len(lanes)
+        Rp = 1 << max(2, (R - 1).bit_length())
+        L_buf = packer.l_buf
+        codes = np.zeros((Rp, L_buf), dtype=np.uint8)
+        vs = np.zeros(Rp, dtype=np.int32)
+        ve = np.zeros(Rp, dtype=np.int32)
+        for i, j in enumerate(int(x) for x in lanes):
+            s, lane = divmod(j, B)
+            codes[i] = batches[s].codes[lane]
+            vs[i] = int(batches[s].valid_start[lane])
+            ve[i] = int(batches[s].valid_end[lane])
+        em, _ = enum_ops.enumerate_batch(
+            jnp.asarray(codes), jnp.ones(Rp, bool), jnp.asarray(ve),
+            enum_ops.zero_carry(Rp), k=p.k, m=p.m, b=p.b,
+            valid_start=jnp.asarray(vs))
+        return self._skl_rows_np(em, em.valid)
+
+    def _deliver_skl_rows(self, rows_np: np.ndarray) -> None:
+        """Deliver host-built skl row records (N, 2+nw) to shards: routed
+        by bucket ownership on a single host, spilled to this process's
+        own shards on a multi-process mesh (collective; lockstep)."""
+        from brisk_tpu.parallel import multihost
+        WR = 2 + self._skl_nw
+        if self.multihost:
+            if multihost.process_max(len(rows_np)) == 0:
+                return
+            n_mine = len(self.my_shards)
+            cap_r = multihost.process_max(
+                -(-max(len(rows_np), 1) // n_mine))
+            local = np.zeros((n_mine, cap_r, WR), dtype=U32)
+            local[:, :, 0] = _INVALID
+            for i in range(n_mine):
+                rd = rows_np[i * cap_r:(i + 1) * cap_r]
+                local[i, :len(rd)] = rd
+            buf = multihost.lane_sharded(
+                self.mesh, (self.n_shards, cap_r, WR), local, 0,
+                self.my_shards[0])
+        else:
+            dest = rows_np[:, 0] % U32(self.n_shards)
+            cap_r = max(int(np.bincount(dest,
+                                        minlength=self.n_shards).max()), 1)
+            host_buf = np.zeros((self.n_shards, cap_r, WR), dtype=U32)
+            host_buf[:, :, 0] = _INVALID
+            for d in range(self.n_shards):
+                rd = rows_np[dest == d]
+                host_buf[d, :len(rd)] = rd
+            buf = jax.device_put(
+                jnp.asarray(host_buf),
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec("x")))
+        self._ensure_skl_room(cap_r)
+        self.skl = sharded.sharded_append_skl_rows(self.skl, buf,
+                                                   self.mesh)
+        self._skl_rows_ub += cap_r
+        self._skl_dirty = True
 
     def _deliver_rows(self, rows_np: np.ndarray) -> None:
         """Route host-built (N, W) packed-key rows to their owner shards
@@ -553,6 +735,263 @@ class ShardedBrisk:
                     index_bytes=key_bytes,
                     bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
 
+    # -- compacted super-k-mer arena (C8 at pod scale) -----------------------
+
+    def _local_skl(self):
+        """(shard_id, single-shard SklState) per addressable shard."""
+        from brisk_tpu.index import sklstore
+        if self.multihost:
+            fields = {}
+            for name in sklstore.SklState._fields:
+                arr = getattr(self.skl, name)
+                for s in arr.addressable_shards:
+                    sl = s.index[0]
+                    d = sl.start if isinstance(sl, slice) else sl
+                    fields.setdefault(d or 0, {})[name] = \
+                        np.asarray(s.data)[0]
+            for d in sorted(fields):
+                f = fields[d]
+                yield d, sklstore.SklState(
+                    bucket=jnp.asarray(f["bucket"]),
+                    meta=jnp.asarray(f["meta"]),
+                    nucs=jnp.asarray(f["nucs"]),
+                    data=jnp.asarray(f["data"]),
+                    offs=jnp.asarray(f["offs"]),
+                    n_rows=jnp.int32(int(f["n_rows"])),
+                    n_fin_rows=jnp.int32(int(f["n_fin_rows"])),
+                    n_fin_kmers=jnp.int32(int(f["n_fin_kmers"])))
+        else:
+            for d in range(self.n_shards):
+                yield d, sklstore.SklState(
+                    bucket=self.skl.bucket[d], meta=self.skl.meta[d],
+                    nucs=self.skl.nucs[d], data=self.skl.data[d],
+                    offs=self.skl.offs[d],
+                    n_rows=self.skl.n_rows[d],
+                    n_fin_rows=self.skl.n_fin_rows[d],
+                    n_fin_kmers=self.skl.n_fin_kmers[d])
+
+    def finalize(self) -> None:
+        """Consolidate every shard's super-k-mer arena (duplicate k-mer
+        counts merged, dead rows dropped, rows grouped by bucket) —
+        per-shard sklstore.finalize_device, then reassembly of the
+        shard-axis arrays."""
+        if self.skl is None or not self._skl_dirty:
+            return
+        from brisk_tpu.index import sklstore
+        from brisk_tpu.parallel import multihost as mh
+        p = self.params
+        done = {}
+        kcap_max = rcap_max = 1
+        for d, lskl in self._local_skl():
+            fin = sklstore.finalize_device(lskl, p.k, p.m, p.b)
+            done[d] = fin
+            kcap_max = max(kcap_max, fin.data.shape[0])
+            rcap_max = max(rcap_max, fin.bucket.shape[0])
+        kcap = mh.process_max(kcap_max)
+        rcap = mh.process_max(rcap_max)
+        for d, fin in done.items():
+            pad_k = kcap - fin.data.shape[0]
+            pad_r = rcap - fin.bucket.shape[0]
+            done[d] = fin._replace(
+                data=jnp.pad(fin.data, (0, pad_k)),
+                bucket=jnp.pad(fin.bucket, (0, pad_r),
+                               constant_values=np.uint32(0xFFFFFFFF)),
+                meta=jnp.pad(fin.meta, (0, pad_r)),
+                nucs=jnp.pad(fin.nucs, ((0, 0), (0, pad_r))),
+                offs=jnp.pad(fin.offs, (0, pad_r)))
+        n = self.n_shards
+        nw = self._skl_nw
+
+        def assemble(name, shape_tail, dt):
+            def fill(idx):
+                sl = idx[0]
+                d = sl.start
+                val = getattr(done[d], name)
+                out = np.asarray(val)
+                return out[None]
+
+            return mh.make_global(self.mesh, (n,) + shape_tail, dt, fill)
+
+        self.skl = sklstore.SklState(
+            bucket=assemble("bucket", (rcap,), np.uint32),
+            meta=assemble("meta", (rcap,), np.uint32),
+            nucs=assemble("nucs", (nw, rcap), np.uint32),
+            data=assemble("data", (kcap,), np.uint32),
+            offs=assemble("offs", (rcap,), np.uint32),
+            n_rows=assemble("n_rows", (), np.int32),
+            n_fin_rows=assemble("n_fin_rows", (), np.int32),
+            n_fin_kmers=assemble("n_fin_kmers", (), np.int32))
+        self._skl_rows_ub = int(jnp.max(self.skl.n_rows)) \
+            if not self.multihost else mh.process_max(
+                max((int(f.n_rows) for f in done.values()), default=0))
+        self._skl_dirty = False
+
+    def skl_stats(self) -> Optional[dict]:
+        if self.skl is None:
+            return None
+        from brisk_tpu.index import sklstore
+        from brisk_tpu.parallel import multihost as mh
+        self.finalize()
+        agg = dict(nb_superkmer_rows=0, nb_slots=0, nb_live_kmers=0,
+                   resident_bytes=0)
+        for d, lskl in self._local_skl():
+            s = sklstore.stats(lskl)
+            for key in agg:
+                agg[key] += s[key]
+        for key in list(agg):
+            agg[key] = mh.process_sum(agg[key])
+        agg["avg_kmers_per_skl"] = (agg["nb_slots"]
+                                    / max(agg["nb_superkmer_rows"], 1))
+        agg["bytes_per_kmer"] = (agg["resident_bytes"]
+                                 / max(agg["nb_live_kmers"], 1))
+        return agg
+
+    def write_kff(self, path: str) -> None:
+        """KFF export of the whole sharded index: per-shard super-k-mer
+        sections concatenated into one file (each process writes
+        `{path}.proc{pid}` on a multi-process mesh)."""
+        from brisk_tpu.io import kff
+        self.finalize()
+        states = [lskl for _, lskl in self._local_skl()]
+        out = f"{path}.proc{self.pid}" if self.multihost else path
+        kff.write_index_skl_many(out, states, self.params)
+
+    def reallocate(self) -> None:
+        """Grow minimizer/bucket space (m += 2, b += 2, clamped at b=15)
+        and re-key every stored entry, re-routing it to its new owner
+        shard (reference Brisk::reallocate, Brisk.hpp:202-224; stop-the-
+        world there too). Multi-process meshes re-key shard-locally and
+        keep entries on their process's shards (spill semantics)."""
+        from brisk_tpu.index import rekey, sklstore
+        self._compact()
+        old = self.params
+        new_params = Parameters(k=old.k, m=old.m + 2, b=min(old.b + 2, 15))
+        reke = []
+        for d, local in self._local_shards():
+            reke.append(rekey.reindex(local, old, new_params))
+        self.params = new_params
+        self.W = store.key_words(new_params.k, new_params.b)
+        cap = max(int(st.n_sorted) for st in reke) if reke else 1
+        cap = 1 << max(12, (2 * cap - 1).bit_length())
+        if self.multihost:
+            from brisk_tpu.parallel import multihost as mh
+            cap = mh.process_max(cap)
+            self.state = mh.sharded_empty_global(self.n_shards, cap,
+                                                 self.mesh, self.W)
+        else:
+            self.state = sharded.sharded_empty(self.n_shards, cap,
+                                               self.mesh, self.W)
+        self._n_used_ub = 0
+        # deliver re-keyed entries (new bucket ids re-route ownership;
+        # multihost keeps them process-local as spill)
+        rows_all = []
+        vals_all = []
+        for st in reke:
+            nloc = int(st.n_sorted)
+            keys_np = np.asarray(st.keys)[:, :nloc]
+            data_np = np.asarray(st.data)[:nloc]
+            livec = data_np != 0
+            rows_all.append(keys_np[:, livec].T)
+            vals_all.append(data_np[livec])
+        rows_np = (np.concatenate(rows_all, axis=0) if rows_all
+                   else np.zeros((0, self.W), dtype=U32))
+        vals_np = (np.concatenate(vals_all) if vals_all
+                   else np.zeros((0,), dtype=U32))
+        self._deliver_rows_valued(rows_np, vals_np)
+        self._compact()
+        if self.keep_superkmers:
+            # rebuild per-shard size-1 arenas from the re-keyed entries
+            from brisk_tpu.parallel import multihost as mh
+            p = self.params
+            done = {}
+            rcap_max = kcap_max = 1
+            for d, local in self._local_shards():
+                fin = sklstore.from_entries(local, p.k, p.m, p.b)
+                done[d] = fin
+                rcap_max = max(rcap_max, fin.bucket.shape[0])
+                kcap_max = max(kcap_max, fin.data.shape[0])
+            rcap = mh.process_max(rcap_max)
+            kcap = mh.process_max(kcap_max)
+            nw2 = sklstore.skl_dims(p.k, p.m, p.b)[3]
+            self._skl_nw = nw2
+            for d, fin in done.items():
+                done[d] = fin._replace(
+                    bucket=jnp.pad(fin.bucket,
+                                   (0, rcap - fin.bucket.shape[0]),
+                                   constant_values=np.uint32(0xFFFFFFFF)),
+                    meta=jnp.pad(fin.meta, (0, rcap - fin.meta.shape[0])),
+                    nucs=jnp.pad(fin.nucs,
+                                 ((0, 0), (0, rcap - fin.nucs.shape[1]))),
+                    data=jnp.pad(fin.data, (0, kcap - fin.data.shape[0])),
+                    offs=jnp.pad(fin.offs, (0, rcap - fin.offs.shape[0])))
+
+            def assemble(name, shape_tail, dt):
+                def fill(idx):
+                    d = idx[0].start
+                    return np.asarray(getattr(done[d], name))[None]
+
+                return mh.make_global(self.mesh,
+                                      (self.n_shards,) + shape_tail, dt,
+                                      fill)
+
+            self.skl = sklstore.SklState(
+                bucket=assemble("bucket", (rcap,), np.uint32),
+                meta=assemble("meta", (rcap,), np.uint32),
+                nucs=assemble("nucs", (nw2, rcap), np.uint32),
+                data=assemble("data", (kcap,), np.uint32),
+                offs=assemble("offs", (rcap,), np.uint32),
+                n_rows=assemble("n_rows", (), np.int32),
+                n_fin_rows=assemble("n_fin_rows", (), np.int32),
+                n_fin_kmers=assemble("n_fin_kmers", (), np.int32))
+            self._skl_rows_ub = mh.process_max(
+                max((int(f.n_rows) for f in done.values()), default=0))
+            self._skl_dirty = False
+
+    def _deliver_rows_valued(self, rows_np: np.ndarray,
+                             vals_np: np.ndarray) -> None:
+        """Like _deliver_rows but with explicit per-row values (counts),
+        used by reallocate. Values ride an extra routed column."""
+        from brisk_tpu.parallel import multihost
+        if self.multihost:
+            n_mine = len(self.my_shards)
+            if multihost.process_max(len(rows_np)) == 0:
+                return
+            cap_r = multihost.process_max(
+                -(-max(len(rows_np), 1) // n_mine))
+            rec = np.full((n_mine, cap_r, self.W + 1), 0, dtype=U32)
+            rec[:, :, :self.W] = _INVALID
+            for i in range(n_mine):
+                rd = rows_np[i * cap_r:(i + 1) * cap_r]
+                rec[i, :len(rd), :self.W] = rd
+                rec[i, :len(rd), self.W] = vals_np[i * cap_r:
+                                                   i * cap_r + len(rd)]
+            buf = multihost.lane_sharded(
+                self.mesh, (self.n_shards, cap_r, self.W + 1), rec, 0,
+                self.my_shards[0])
+        else:
+            bucket, _, _, _ = store.unpack_keys_np(rows_np.T,
+                                                   self.params.k,
+                                                   self.params.b)
+            dest = bucket % U32(self.n_shards)
+            cap_r = max(int(np.bincount(dest,
+                                        minlength=self.n_shards).max()), 1)
+            host_buf = np.zeros((self.n_shards, cap_r, self.W + 1),
+                                dtype=U32)
+            host_buf[:, :, :self.W] = _INVALID
+            for d in range(self.n_shards):
+                sel = dest == d
+                rd = rows_np[sel]
+                host_buf[d, :len(rd), :self.W] = rd
+                host_buf[d, :len(rd), self.W] = vals_np[sel]
+            buf = jax.device_put(
+                jnp.asarray(host_buf),
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec("x")))
+        self._ensure_room(cap_r)
+        self.state = sharded.sharded_append_valued_buf(self.state, buf,
+                                                       self.mesh)
+        self._n_used_ub += cap_r
+
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -563,6 +1002,12 @@ class ShardedBrisk:
         `{path}.proc{pid}.npz` (no host ever holds the whole index);
         load() on a single host reassembles all process files."""
         self._compact()
+        extra = {}
+        if self.keep_superkmers:
+            self.finalize()
+            if not self.multihost:
+                extra = {f"skl_{name}": np.asarray(getattr(self.skl, name))
+                         for name in self.skl._fields}
         if self.multihost:
             shards = {}
             for d, local in self._local_shards():
@@ -570,6 +1015,11 @@ class ShardedBrisk:
                 shards[f"shard{d}_data"] = np.asarray(local.data)
                 shards[f"shard{d}_n"] = np.array(
                     [int(local.n_sorted), int(local.n_used)])
+            if self.keep_superkmers:
+                for d, lskl in self._local_skl():
+                    for name in lskl._fields:
+                        shards[f"shard{d}_skl_{name}"] = \
+                            np.asarray(getattr(lskl, name))
             np.savez_compressed(
                 f"{path}.proc{self.pid}",
                 shard_ids=np.asarray(self.my_shards),
@@ -586,7 +1036,7 @@ class ShardedBrisk:
             n_used=np.asarray(self.state.n_used),
             k=self.params.k, m=self.params.m, b=self.params.b,
             n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
-            n_spilled=self.n_spilled)
+            n_spilled=self.n_spilled, **extra)
 
     @classmethod
     def load_multihost_checkpoint(cls, path: str, mesh=None, **kw
@@ -617,7 +1067,8 @@ class ShardedBrisk:
                                           z[f"shard{d}_n"])
         if mesh is None:
             mesh = sharded.make_mesh(n_shards)
-        self = cls(params, mesh=mesh, capacity=keys.shape[2], **kw)
+        self = cls(params, mesh=mesh, capacity=keys.shape[2],
+                   keep_superkmers=False, **kw)
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
         self.state = store.IndexState(
             keys=jax.device_put(jnp.asarray(keys), sh),
@@ -631,14 +1082,17 @@ class ShardedBrisk:
 
     @classmethod
     def load(cls, path: str, mesh=None, **kw) -> "ShardedBrisk":
+        from brisk_tpu.index import sklstore
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         params = Parameters(k=int(z["k"]), m=int(z["m"]), b=int(z["b"]))
         n_shards = z["keys"].shape[0]
+        has_skl = "skl_bucket" in z
         if mesh is None:
             mesh = sharded.make_mesh(n_shards)
         assert mesh.shape["x"] == n_shards, \
             f"checkpoint has {n_shards} shards, mesh has {mesh.shape['x']}"
-        self = cls(params, mesh=mesh, capacity=z["keys"].shape[2], **kw)
+        self = cls(params, mesh=mesh, capacity=z["keys"].shape[2],
+                   keep_superkmers=has_skl, **kw)
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
         self.state = store.IndexState(
             keys=jax.device_put(jnp.asarray(z["keys"]), sh),
@@ -646,6 +1100,12 @@ class ShardedBrisk:
             n_sorted=jax.device_put(jnp.asarray(z["n_sorted"]), sh),
             n_used=jax.device_put(jnp.asarray(z["n_used"]), sh))
         self._sync_used()
+        if has_skl:
+            self.skl = sklstore.SklState(
+                **{name: jax.device_put(jnp.asarray(z[f"skl_{name}"]), sh)
+                   for name in sklstore.SklState._fields})
+            self._skl_rows_ub = int(jnp.max(self.skl.n_rows))
+            self._skl_dirty = False
         self.n_emitted = int(z["n_emitted"])
         self.n_superkmers = int(z["n_superkmers"])
         self.n_spilled = int(z["n_spilled"])

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from brisk_tpu.index import store
+from brisk_tpu.index import sklstore, store
 from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.ops.minimizer import MinimizerState
 
@@ -327,6 +327,178 @@ def sharded_insert_windows(state: store.IndexState, codes: jnp.ndarray,
             certs, ends, chain2)
 
 
+@partial(jax.jit, static_argnames=("k", "m", "b", "mesh", "route_cap",
+                                   "row_cap", "skl_route_cap"),
+         donate_argnums=(0, 1))
+def sharded_insert_windows_skl(state: store.IndexState,
+                               skl: sklstore.SklState,
+                               codes: jnp.ndarray,
+                               valid_start: jnp.ndarray,
+                               valid_end: jnp.ndarray,
+                               chain, k: int, m: int, b: int, mesh: Mesh,
+                               route_cap: int, row_cap: int,
+                               skl_route_cap: int):
+    """sharded_insert_windows + per-shard compacted super-k-mer arenas:
+    each shard additionally segments its lanes' emissions into skl rows
+    (sklstore.rows_from_emissions) and routes them to their owner shard
+    (bucket % n_shards) through a second all_to_all; overflow rows spill
+    to the source shard; received + spilled rows dense-append live-first
+    (sklstore.append_n semantics) so per-shard arenas stay
+    tombstone-free.
+
+    Returns (state', skl', n_sk, n_km, n_spilled, cert, ends,
+    skl_overflow (S, B), chain'). Extra capacity contract: per shard and
+    per step the skl arena absorbs <= n_shards*skl_route_cap +
+    B_local*row_cap rows."""
+    n_shards = mesh.shape["x"]
+    W = store.key_words(k, b)
+    margin = k - 1
+    nw = skl.nucs.shape[1]
+    WR = 2 + nw  # row record: bucket | meta | nucs words
+
+    def run(st_keys, st_data, st_ns, st_nu,
+            sk_bucket, sk_meta, sk_nucs, sk_data, sk_offs, sk_nr,
+            sk_nfr, sk_nfk, codes, vs, ve, ch):
+        local = store.IndexState(st_keys[0], st_data[0], st_ns[0], st_nu[0])
+        lskl = sklstore.SklState(sk_bucket[0], sk_meta[0], sk_nucs[0],
+                                 sk_data[0], sk_offs[0], sk_nr[0],
+                                 sk_nfr[0], sk_nfk[0])
+        Bl = codes.shape[1]
+        fresh = jnp.ones((Bl,), dtype=bool)
+        zero = enum_ops.zero_carry(Bl)
+        L_buf = codes.shape[2]
+        pos_out = jnp.arange(margin, L_buf, dtype=U32)[None, :]
+        R = Bl * row_cap
+
+        def step(carry, xs):
+            st, sk, ch = carry
+            codes_i, vs_i, ve_i = xs
+            em, end = enum_ops.enumerate_batch(
+                codes_i, fresh, ve_i, zero, k=k, m=m, b=b, valid_start=vs_i)
+            exact, ch = _chain_exact_sharded(em, end, vs_i, ch, margin,
+                                             n_shards)
+            ok2 = em.valid & exact[:, None]
+            rows = store.make_keys(em.bucket.reshape(-1),
+                                   em.key.reshape(4, -1),
+                                   em.mini_idx.reshape(-1), k, b)
+            ok = ok2.reshape(-1)
+            buf, routed_mask = _route_local(rows, em.bucket.reshape(-1),
+                                            ok, n_shards, route_cap)
+            routed = jax.lax.all_to_all(buf, "x", split_axis=0,
+                                        concat_axis=0, tiled=True)
+            rcv = routed.reshape(-1, W).T
+            rcv_valid = rcv[0] != _INVALID
+            st = store.append(st, rcv, jnp.ones(rcv.shape[1], dtype=U32),
+                              rcv_valid)
+            spilled = ok & ~routed_mask
+            st = store.append(st, rows, jnp.ones(rows.shape[1], dtype=U32),
+                              spilled)
+
+            # compacted super-k-mer rows -> owner shards
+            first_valid = pos_out == vs_i[:, None].astype(U32)
+            rb, rm, rn, ovf = sklstore.rows_from_emissions(
+                em.key, em.bucket, em.mini_idx, em.use_rc, ok2,
+                first_valid, em.boundary, k, m, b, row_cap)
+            rowrec = jnp.concatenate(
+                [rb.reshape(1, R), rm.reshape(1, R), rn.reshape(nw, R)])
+            live = rowrec[0] != _INVALID
+            buf2, routed2_mask = _route_local(rowrec, rowrec[0], live,
+                                              n_shards, skl_route_cap)
+            routed2 = jax.lax.all_to_all(buf2, "x", split_axis=0,
+                                         concat_axis=0, tiled=True)
+            rcv2 = routed2.reshape(-1, WR).T  # (WR, n_shards*cap2)
+            spill_rows = tuple(
+                jnp.where(live & ~routed2_mask, rowrec[i],
+                          _INVALID if i == 0 else 0)
+                for i in range(WR))
+            allrec = tuple(jnp.concatenate([rcv2[i], spill_rows[i]])
+                           for i in range(WR))
+            n_all = allrec[0].shape[0]
+            order = jnp.where(allrec[0] != _INVALID,
+                              jnp.arange(n_all, dtype=U32), _INVALID)
+            sorted_rows = jax.lax.sort((order,) + allrec, num_keys=1)
+            n_live_rows = jnp.sum(sorted_rows[0] != _INVALID
+                                  ).astype(jnp.int32)
+            sk = sklstore.append_n(
+                sk, sorted_rows[1], sorted_rows[2],
+                jnp.stack(sorted_rows[3:3 + nw]), n_live_rows)
+
+            n_sk = jnp.sum(em.boundary & ok2).astype(jnp.int32)
+            return (st, sk, ch), (n_sk, jnp.sum(ok).astype(jnp.int32),
+                                  jnp.sum(spilled).astype(jnp.int32),
+                                  exact, end, ovf)
+
+        ((local, lskl, ch),
+         (n_sks, n_kms, n_sps, certs, ends, ovfs)) = jax.lax.scan(
+            step, (local, lskl, ch), (codes, vs, ve))
+        return (local.keys[None], local.data[None], local.n_sorted[None],
+                local.n_used[None],
+                lskl.bucket[None], lskl.meta[None], lskl.nucs[None],
+                lskl.data[None], lskl.offs[None], lskl.n_rows[None],
+                lskl.n_fin_rows[None], lskl.n_fin_kmers[None],
+                jax.lax.psum(jnp.sum(n_sks), "x"),
+                jax.lax.psum(jnp.sum(n_kms), "x"),
+                jax.lax.psum(jnp.sum(n_sps), "x"),
+                certs, ends, ovfs, ch)
+
+    sx = P("x")
+    specs_state = (sx, sx, sx, sx)
+    specs_skl = (sx,) * 8
+    lane = P(None, "x")
+    chain_spec = jax.tree.map(lambda _: P(), chain)
+    out = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=specs_state + specs_skl + (lane, lane, lane, chain_spec),
+        out_specs=specs_state + specs_skl
+        + (P(), P(), P(), lane,
+           jax.tree.map(lambda _: lane, enum_ops.zero_carry(1)),
+           lane, chain_spec),
+        check_vma=False,
+    )(state.keys, state.data, state.n_sorted, state.n_used,
+      skl.bucket, skl.meta, skl.nucs, skl.data, skl.offs, skl.n_rows,
+      skl.n_fin_rows, skl.n_fin_kmers, codes, valid_start, valid_end,
+      chain)
+    (keys, data, ns, nu, kb, km_, kn, kd, ko, knr, knfr, knfk,
+     n_sk, n_km, n_sp, certs, ends, ovfs, chain2) = out
+    return (store.IndexState(keys, data, ns, nu),
+            sklstore.SklState(kb, km_, kn, kd, ko, knr, knfr, knfk),
+            n_sk, n_km, n_sp, certs, ends, ovfs, chain2)
+
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
+def sharded_append_skl_rows(skl: sklstore.SklState, buf: jnp.ndarray,
+                            mesh: Mesh) -> sklstore.SklState:
+    """Append a HOST-built row buffer: buf (n_shards, cap_r, 2+nw)
+    uint32, INVALID-bucket-padded; shard d dense-appends buf[d]'s live
+    rows to its arena (repaired-window and overflow-lane deliveries)."""
+    nw = skl.nucs.shape[1]
+
+    def run(bucket, meta, nucs, data, offs, nr, nfr, nfk, buf):
+        lskl = sklstore.SklState(bucket[0], meta[0], nucs[0], data[0],
+                                 offs[0], nr[0], nfr[0], nfk[0])
+        rec = buf[0].T  # (2+nw, cap_r)
+        n = rec.shape[1]
+        order = jnp.where(rec[0] != _INVALID, jnp.arange(n, dtype=U32),
+                          _INVALID)
+        srt = jax.lax.sort((order,) + tuple(rec[i] for i in
+                                            range(rec.shape[0])),
+                           num_keys=1)
+        n_live = jnp.sum(srt[0] != _INVALID).astype(jnp.int32)
+        lskl = sklstore.append_n(lskl, srt[1], srt[2],
+                                 jnp.stack(srt[3:3 + nw]), n_live)
+        return (lskl.bucket[None], lskl.meta[None], lskl.nucs[None],
+                lskl.data[None], lskl.offs[None], lskl.n_rows[None],
+                lskl.n_fin_rows[None], lskl.n_fin_kmers[None])
+
+    sx = P("x")
+    specs = (sx,) * 8
+    out = jax.shard_map(run, mesh=mesh, in_specs=specs + (sx,),
+                        out_specs=specs, check_vma=False)(
+        skl.bucket, skl.meta, skl.nucs, skl.data, skl.offs, skl.n_rows,
+        skl.n_fin_rows, skl.n_fin_kmers, buf)
+    return sklstore.SklState(*out)
+
+
 @partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
 def sharded_append_buf(state: store.IndexState, buf: jnp.ndarray,
                        mesh: Mesh) -> store.IndexState:
@@ -339,6 +511,29 @@ def sharded_append_buf(state: store.IndexState, buf: jnp.ndarray,
         valid = rows[0] != _INVALID
         local = store.append(local, rows,
                              jnp.ones(rows.shape[1], dtype=U32), valid)
+        return (local.keys[None], local.data[None], local.n_sorted[None],
+                local.n_used[None])
+
+    specs = (P("x"), P("x"), P("x"), P("x"))
+    out = jax.shard_map(run, mesh=mesh, in_specs=specs + (P("x"),),
+                        out_specs=specs, check_vma=False)(
+        state.keys, state.data, state.n_sorted, state.n_used, buf)
+    return store.IndexState(*out)
+
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0,))
+def sharded_append_valued_buf(state: store.IndexState, buf: jnp.ndarray,
+                              mesh: Mesh) -> store.IndexState:
+    """sharded_append_buf with an extra trailing VALUE column per row
+    (explicit counts instead of 1) — reallocate's re-keyed entries keep
+    their accumulated totals."""
+    def run(keys, data, ns, nu, buf):
+        local = store.IndexState(keys[0], data[0], ns[0], nu[0])
+        rec = buf[0].reshape(-1, buf.shape[-1]).T
+        rows = rec[:-1]
+        vals = rec[-1]
+        valid = rows[0] != _INVALID
+        local = store.append(local, rows, vals, valid)
         return (local.keys[None], local.data[None], local.n_sorted[None],
                 local.n_used[None])
 
@@ -383,6 +578,44 @@ def sharded_grow(state: store.IndexState, new_capacity: int, mesh: Mesh
         data=jax.device_put(jnp.pad(state.data, ((0, 0), (0, pad))),
                             sharding),
         n_sorted=state.n_sorted, n_used=state.n_used)
+
+
+def sharded_skl_empty(n_shards: int, row_cap: int, kmer_cap: int,
+                      nw: int, mesh: Mesh) -> sklstore.SklState:
+    """Per-shard compacted super-k-mer arenas with a leading shard axis
+    (the facade's C8 storage at pod scale, VERDICT r2 item 5)."""
+    sharding = NamedSharding(mesh, P("x"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return sklstore.SklState(
+        bucket=put(jnp.full((n_shards, row_cap), _INVALID, dtype=U32)),
+        meta=put(jnp.zeros((n_shards, row_cap), dtype=U32)),
+        nucs=put(jnp.zeros((n_shards, nw, row_cap), dtype=U32)),
+        data=put(jnp.zeros((n_shards, kmer_cap), dtype=U32)),
+        offs=put(jnp.zeros((n_shards, row_cap), dtype=U32)),
+        n_rows=put(jnp.zeros((n_shards,), jnp.int32)),
+        n_fin_rows=put(jnp.zeros((n_shards,), jnp.int32)),
+        n_fin_kmers=put(jnp.zeros((n_shards,), jnp.int32)))
+
+
+def sharded_skl_grow(skl: sklstore.SklState, row_cap: int, mesh: Mesh
+                     ) -> sklstore.SklState:
+    """Per-shard row-capacity growth (pad the row axis)."""
+    pad = row_cap - skl.bucket.shape[1]
+    assert pad >= 0
+    sharding = NamedSharding(mesh, P("x"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return skl._replace(
+        bucket=put(jnp.pad(skl.bucket, ((0, 0), (0, pad)),
+                           constant_values=np.uint32(0xFFFFFFFF))),
+        meta=put(jnp.pad(skl.meta, ((0, 0), (0, pad)))),
+        nucs=put(jnp.pad(skl.nucs, ((0, 0), (0, 0), (0, pad)))),
+        offs=put(jnp.pad(skl.offs, ((0, 0), (0, pad)))))
 
 
 def sharded_empty(n_shards: int, capacity: int, mesh: Mesh, nkey: int

@@ -106,3 +106,46 @@ def test_facade_streaming_k63(tmp_path, mesh):
                       batch_per_shard=4, window=64, capacity=1 << 15)
     br.insert_file(path)
     assert br.counts_dict() == pyref.count_fasta(path, k, m)
+
+
+def test_facade_skl_kff_roundtrip(tmp_path, mesh):
+    """Per-shard super-k-mer arenas export to one KFF file whose counts
+    round-trip exactly (VERDICT r2 item 5; mirrors test_kff's single-chip
+    version)."""
+    from brisk_tpu.io import kff
+    k, m, b = 31, 11, 8
+    records = [rand_seq(random.randint(k, 600)) for _ in range(10)]
+    path = str(tmp_path / "in.fa")
+    write_fa(path, records)
+    br = ShardedBrisk(Parameters(k=k, m=m, b=b), mesh=mesh,
+                      batch_per_shard=8, window=64, stack=2,
+                      capacity=1 << 15)
+    br.insert_file(path)
+    out = str(tmp_path / "index.kff")
+    br.write_kff(out)
+    counts, rk, rm = kff.read_index(out)
+    assert (rk, rm) == (k, m)
+    assert counts == br.counts_dict() == pyref.count_fasta(path, k, m)
+    ss = br.skl_stats()
+    assert ss["nb_live_kmers"] == len(counts)
+    assert ss["avg_kmers_per_skl"] > 2
+
+
+def test_facade_reallocate_preserves_counts(tmp_path, mesh):
+    """reallocate (m+=2, b+=2) re-keys and re-routes every entry with
+    exact counts and a rebuilt skl arena (VERDICT r2 item 5)."""
+    k, m, b = 31, 11, 8
+    records = [rand_seq(random.randint(k, 400)) for _ in range(8)]
+    path = str(tmp_path / "in.fa")
+    write_fa(path, records)
+    br = ShardedBrisk(Parameters(k=k, m=m, b=b), mesh=mesh,
+                      batch_per_shard=8, window=64, stack=2,
+                      capacity=1 << 15)
+    br.insert_file(path)
+    before = br.counts_dict()
+    br.reallocate()
+    assert br.params.m == m + 2 and br.params.b == b + 2
+    assert br.counts_dict() == before
+    # skl arena matches the re-keyed store
+    ss = br.skl_stats()
+    assert ss["nb_live_kmers"] == len(before)

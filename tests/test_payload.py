@@ -115,3 +115,64 @@ def test_long_sequence_multibatch():
     exp = {kv: (c, lp) for kv, (c, lp, _) in
            expected_payload(seq, k, m).items()}
     assert aggregate(bd) == exp
+
+
+def test_insert_file_windowed_payload_parity(tmp_path):
+    """BriskData.insert_file runs the fused windowed pipeline with
+    (count, position) payloads: counts match the oracle and positions
+    obey the 'max' (last-occurrence) lane kind (VERDICT r2 item 6)."""
+    import random as _r
+    from brisk_tpu.data_api import BriskData
+    from brisk_tpu.oracle import pyref
+    _r.seed(31)
+    k, m, b = 31, 11, 8
+    records = ["".join(_r.choice("ACGT") for _ in range(n))
+               for n in (900, 45, 2200)]
+    path = str(tmp_path / "in.fa")
+    with open(path, "w") as f:
+        for i, rec in enumerate(records):
+            f.write(f">r{i}\n{rec}\n")
+    bd = BriskData(Parameters(k=k, m=m, b=b), width=2, batch=8,
+                   window=64, stack=2)
+    bd.insert_file(path)
+
+    # oracle: per stored-orientation k-mer value -> (count, last pos)
+    dede = pyref.DecyclingSet(m)
+    got = {kv: lanes for kv, lanes in bd.items()}
+    exp2 = {}
+    for rec in records:
+        for pos, (recd, _, _) in enumerate(
+                pyref.scan_emissions(rec, k, m, dede)):
+            c, p = exp2.get(recd.kmer, (0, -1))
+            exp2[recd.kmer] = (c + 1, max(p, pos))
+    assert got == {kv: (c, p) for kv, (c, p) in exp2.items()}
+    assert bd.n_emitted == sum(len(r) - k + 1 for r in records)
+
+
+def test_update_defers_compaction():
+    """update() appends without a per-call device sort; reads see the
+    merged values via lazy compaction."""
+    from brisk_tpu.data_api import BriskData
+    bd = BriskData(Parameters(k=21, m=9, b=6), width=2, batch=8,
+                   window=64)
+    import random as _r
+    _r.seed(8)
+    seq = "".join(_r.choice("ACGT") for _ in range(400))
+    bd.insert_sequence(seq)
+    # get() keying is orientation/state-sensitive (like the reference's
+    # str2kmer); pick a k-mer whose scalar key hits
+    kmer = before = None
+    for i in range(0, len(seq) - 21, 3):
+        kmer = seq[i:i + 21]
+        before = bd.get(kmer)
+        if before is not None:
+            break
+    assert before is not None
+    n_sorted0 = int(bd.state.n_sorted)
+    for i in range(5):
+        bd.update([kmer], np.array([[7], [100 + i]], dtype=np.uint32))
+        # no compaction inside update: the unsorted log grows
+    assert int(bd.state.n_used) > int(bd.state.n_sorted)
+    after = bd.get(kmer)
+    assert after[0] == before[0] + 5 * 7
+    assert after[1] == 104
