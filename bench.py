@@ -1,22 +1,29 @@
 """Benchmark: PRODUCT-path k-mer indexing throughput on real TPU hardware.
 
-Round 3 honesty contract (VERDICT r2 item 9): every metric is measured on
-a code path the product actually runs.
+Honesty contract (VERDICT r2 item 9 / r3 items 1+5): every metric is
+measured on a code path the product actually runs, and every stage either
+reports a number or an explicit *_error field — nothing is silently
+swallowed.
 
   * value (primary): device throughput of pipeline.insert_windows_sklnative
-    — THE program Brisk.insert_file dispatches for k<=32 (window stacks
-    from a real WindowPacker over a synthetic genome, steady state).
-    vs_baseline is against the reference counter's best same-host device
-    rate analog (4.43e6 k-mers/s, 2 threads, 4.6 Mb — BASELINE.md).
+    — THE program Brisk.insert_file dispatches (packed window stacks from
+    a real WindowPacker over a synthetic genome, steady state).
+    vs_baseline is against the reference counter's best same-host rate
+    analog (4.43e6 k-mers/s, 2 threads, 4.6 Mb — BASELINE.md).
   * e2e_warm_kmers_per_sec: Brisk.insert_file + finalize on a 50 Mb FASTA
-    (host parse + window packing + device + count consolidation), after
-    Brisk.warmup() — steady-state production serving. Its matching
-    baseline is the reference on the SAME 50 Mb file: 1.47e6 k-mers/s
-    (e2e_warm_vs_cpu_ref field).
+    (host parse + packed window packing + H2D + device + count
+    consolidation), after Brisk.warmup() — steady-state production
+    serving. Baseline: the reference on the SAME 50 Mb file, 1.47e6
+    k-mers/s (e2e_warm_vs_cpu_ref).
   * e2e_cold_kmers_per_sec: same run INCLUDING warmup()'s executable
-    build/load (~10 s fixed per process with a warm persistent
-    compilation cache; dominated by XLA executable load on this backend).
+    build/load.
   * stage_*_s: per-stage wall times of the e2e run.
+  * k63_e2e_kmers_per_sec: k=63 m=21 b=14 e2e on a 4.6 Mb FASTA
+    (reference CPU: 0.27e6 k-mers/s on the same config, BASELINE.md) +
+    its repaired-window count (VERDICT r3 item 3).
+  * query_file_kmers_per_sec: batch query over the same 50 Mb file
+    against the finalized index (reference query path,
+    counter.cpp:281-346).
   * sharded_step_ms_n1/n8: per-step cost of the sharded windowed insert
     on a virtual CPU mesh (subprocess) — bounds all_to_all routing
     overhead; no multi-chip hardware is available here.
@@ -29,6 +36,7 @@ import os
 import subprocess
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +44,22 @@ import numpy as np
 
 E2E_REF_KMERS_PER_S = 1.47e6    # reference counter, 50 Mb, t=2 (BASELINE.md)
 DEV_REF_KMERS_PER_S = 4.43e6    # reference counter, 4.6 Mb, t=2 (BASELINE.md)
+K63_REF_KMERS_PER_S = 0.27e6    # reference counter, 4.6 Mb k=63 t=2
+
+
+def synth_path(n_bases: int, name: str) -> str:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from make_synth_fasta import write_synth
+    path = f"/tmp/bench_synth_{name}.fa"
+    if not os.path.exists(path):
+        write_synth(path, n_bases=n_bases, read_len=10_000, seed=1234)
+    return path
 
 
 def product_device_bench():
     """Steady-state throughput of the fused product insert program on
-    real window stacks (exactly what Brisk.insert_file dispatches)."""
+    real (packed) window stacks (exactly what Brisk.insert_file
+    dispatches)."""
     from brisk_tpu.index import pipeline, sklstore
     from brisk_tpu.io import windows
 
@@ -57,7 +76,7 @@ def product_device_bench():
         pending.append(bt)
         if len(pending) == S:
             stacks.append((
-                jnp.asarray(np.stack([x.codes for x in pending])),
+                jnp.asarray(np.stack([x.codes4 for x in pending])),
                 jnp.asarray(np.stack([x.valid_start for x in pending])),
                 jnp.asarray(np.stack([x.valid_end for x in pending])),
                 int(sum(x.n_kmers for x in pending))))
@@ -74,7 +93,8 @@ def product_device_bench():
 
     def flush(sk, ch, st):
         out = pipeline.insert_windows_sklnative(
-            sk, st[0], st[1], st[2], ch, k=k, m=m, b=b, row_cap=row_cap)
+            sk, st[0], st[1], st[2], ch, k=k, m=m, b=b, row_cap=row_cap,
+            l_buf=packer.l_buf)
         return out[0], out[7], out[6]
 
     skl, chain, nr = flush(skl, chain, stacks[0])  # compile + load
@@ -96,15 +116,11 @@ def product_device_bench():
 
 
 def e2e_bench():
-    """Brisk.insert_file + finalize on a 50 Mb synthetic FASTA."""
+    """Brisk.insert_file + finalize on a 50 Mb synthetic FASTA, then a
+    full-file batch query against the finalized index."""
     from brisk_tpu.api import Brisk
     from brisk_tpu.params import Parameters
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from make_synth_fasta import write_synth
-
-    path = "/tmp/bench_synth_50mb.fa"
-    if not os.path.exists(path):
-        write_synth(path, n_bases=50_000_000, read_len=10_000, seed=1234)
+    path = synth_path(50_000_000, "50mb")
     br = Brisk(Parameters(k=31, m=11, b=8), batch=2048, window=512,
                capacity=1 << 26, stack=8)
     t_cold0 = time.time()
@@ -112,15 +128,15 @@ def e2e_bench():
     t0 = time.time()
     stage_warmup = t0 - t_cold0
     br.insert_file(path)
-    br._drain()
     int(br.skl.n_rows)  # completion barrier (data-dependent readback)
     t1 = time.time()
     stage_insert = t1 - t0
     br.finalize()
+    int(br.skl.n_fin_kmers)  # barrier
     t2 = time.time()
     stage_finalize = t2 - t1
     n = br.n_emitted
-    return dict(
+    out = dict(
         e2e_warm_kmers_per_sec=round(n / (t2 - t0)),
         e2e_cold_kmers_per_sec=round(n / (t2 - t_cold0)),
         e2e_warm_vs_cpu_ref=round(n / (t2 - t0) / E2E_REF_KMERS_PER_S, 2),
@@ -131,51 +147,95 @@ def e2e_bench():
         e2e_repaired_windows=br.n_repaired_windows,
         e2e_skl_overflows=br.n_skl_overflows,
     )
+    t3 = time.time()
+    total = br.query_file(path)
+    t4 = time.time()
+    out.update(
+        query_file_kmers_per_sec=round(n / (t4 - t3)),
+        query_file_total_mod256=int(total) & 0xFFFFFFFF,
+        stage_query_s=round(t4 - t3, 2),
+    )
+    return out
+
+
+def k63_e2e_bench():
+    """k=63 m=21 b=14 e2e on 4.6 Mb (the reference's own debug config,
+    counter.cpp:32 / debug.sh; CPU baseline 0.27 M/s)."""
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    path = synth_path(4_600_000, "4p6mb")
+    br = Brisk(Parameters(k=63, m=21, b=14), batch=1024, window=512,
+               stack=4)
+    t_cold0 = time.time()
+    br.warmup(os.path.getsize(path))
+    t0 = time.time()
+    br.insert_file(path)
+    int(br.skl.n_rows)
+    br.finalize()
+    int(br.skl.n_fin_kmers)
+    t1 = time.time()
+    n = br.n_emitted
+    return dict(
+        k63_e2e_kmers_per_sec=round(n / (t1 - t0)),
+        k63_e2e_vs_cpu_ref=round(n / (t1 - t0) / K63_REF_KMERS_PER_S, 2),
+        k63_warmup_s=round(t0 - t_cold0, 2),
+        k63_nb_kmers=n,
+        k63_repaired_windows=br.n_repaired_windows,
+        k63_repair_batches=br.n_repair_batches,
+    )
 
 
 def sharded_overhead():
     """Per-step sharded windowed-insert cost at n=1 vs n=8 (CPU mesh,
     subprocess so this TPU process keeps its backend)."""
-    env = dict(os.environ,
-               JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, "scripts/sharded_overhead.py"],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ,
+                 XLA_FLAGS="--xla_force_host_platform_device_count=8"),
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if out.returncode != 0:
+        raise RuntimeError(f"sharded_overhead rc={out.returncode}: "
+                           f"{out.stderr[-500:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_stage(rec, name, fn):
+    """Run one bench stage; on failure record an explicit error field
+    (never ship a silently-empty result — VERDICT r3 item 5)."""
+    t0 = time.time()
     try:
-        out = subprocess.run(
-            [sys.executable, "scripts/sharded_overhead.py"],
-            capture_output=True, text=True, timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception:
+        out = fn()
+        print(f"[bench] {name} done in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        return out
+    except Exception as e:
+        traceback.print_exc()
+        print(f"[bench] {name} FAILED in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        rec[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
         return {}
 
 
 def main():
+    rec = {}
     t0 = time.time()
-    value = product_device_bench()
+    value = product_device_bench()  # primary: let exceptions kill rc
     print(f"[bench] product_device_bench done in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
-    t1 = time.time()
-    try:
-        e2e = e2e_bench()
-    except Exception:  # never lose the primary metric
-        import traceback
-        traceback.print_exc()
-        e2e = {}
-    print(f"[bench] e2e_bench done in {time.time() - t1:.1f}s",
-          file=sys.stderr, flush=True)
-    t2 = time.time()
-    sh = sharded_overhead()
-    print(f"[bench] sharded_overhead done in {time.time() - t2:.1f}s",
-          file=sys.stderr, flush=True)
-    rec = {
+    rec.update({
         "metric": "product_device_kmers_per_sec_single_chip_k31",
         "value": round(value),
         "unit": "kmers/s",
         "vs_baseline": round(value / DEV_REF_KMERS_PER_S, 2),
-    }
-    rec.update(e2e)
+    })
+    rec.update(run_stage(rec, "e2e", e2e_bench))
+    rec.update(run_stage(rec, "k63", k63_e2e_bench))
+    sh = run_stage(rec, "sharded", sharded_overhead)
     rec.update({f"sharded_{k}": v for k, v in sh.items()})
     print(json.dumps(rec))
+    if any(k.endswith("_error") for k in rec):
+        sys.exit(3)  # loud failure; the primary metric is still printed
 
 
 if __name__ == "__main__":

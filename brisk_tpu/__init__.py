@@ -28,15 +28,42 @@ if _plat:
 # Persistent compilation cache: index kernels are recompiled per
 # (batch, window, capacity) shape and TPU compiles are expensive
 # (30-200s); the cache makes repeated runs (tests, bench, driver) warm.
-try:
-    _cache_dir = _os.environ.get(
-        "BRISK_TPU_CACHE",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "brisk_tpu_jax"))
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # cache is an optimization, never fatal
-    pass
+#
+# TPU-ONLY (round-4 fix): serializing/deserializing large XLA:CPU
+# executables reproducibly SEGFAULTS (both the cache write of a freshly
+# compiled k=63 program and the load of one cached by a machine with
+# different CPU features — SIGILL hazard). The cache is therefore enabled
+# lazily, only once the active backend is known to be a TPU. Set
+# BRISK_TPU_CACHE=<dir> to force-enable regardless of backend (debug).
+_cache_enabled = False
+
+
+def enable_persistent_cache() -> bool:
+    """Enable the persistent compilation cache if the active backend is a
+    TPU (or BRISK_TPU_CACHE is set). Safe to call repeatedly; called by
+    the entry points that are about to compile big programs (Brisk
+    construction, the counter app, bench). Returns True when enabled."""
+    global _cache_enabled
+    if _cache_enabled:
+        return True
+    forced = _os.environ.get("BRISK_TPU_CACHE")
+    try:
+        if not forced:
+            # the tunneled plugin registers as platform "axon" with
+            # device_kind "TPU v5 lite" — accept any TPU device kind
+            is_tpu = _jax.default_backend() == "tpu" or any(
+                "tpu" in d.device_kind.lower() for d in _jax.devices())
+            if not is_tpu:
+                return False
+        _cache_dir = forced or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "brisk_tpu_jax")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:  # cache is an optimization, never fatal
+        return False
+    return True
 
 from brisk_tpu.params import Parameters  # noqa: E402
 

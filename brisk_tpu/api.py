@@ -65,6 +65,8 @@ class Brisk:
     def __init__(self, params: Parameters, batch: int = 512,
                  window: int = 512, capacity: int = 1 << 16,
                  stack: int = 8, keep_superkmers: bool = True):
+        import brisk_tpu
+        brisk_tpu.enable_persistent_cache()  # TPU-only; no-op on CPU
         self.params = params
         self.batch = batch
         # the warm-up replay must leave room for useful emissions; large
@@ -77,6 +79,7 @@ class Brisk:
         self.n_superkmers = 0
         self.n_repaired_windows = 0
         self.n_repair_batches = 0  # device calls spent on repairs
+        self.n_degraded_windows = 0  # should-not-happen fallbacks taken
         self.keep_superkmers = keep_superkmers
         # rows kept per lane in the fused skl segmentation; lanes with
         # more super-k-mers are re-run at full width (rare: avg size is
@@ -87,6 +90,8 @@ class Brisk:
         self.state = None
         self._dirty = False          # raw rows appended since finalize
         self._expanded = None        # cached transient per-kmer view
+        self._skl_segments = []      # bucket-grouped row ranges, 1/finalize
+        self._bucket_col = None      # host cache of the arena bucket column
         self._pending = []           # in-flight flush records
         self._count_acc = []         # deferred (n_sk, n_km) device scalars
         self._rows_ub = 0            # upper bound on skl.n_rows
@@ -175,12 +180,12 @@ class Brisk:
             self._presize_for(n_bases_estimate)
         packer = windows.WindowPacker(p.k, p.m, self.batch,
                                       l_out=self.window)
-        S, B, L_buf = self.stack, self.batch, packer.l_buf
+        S, B = self.stack, self.batch
         out = pipeline.insert_windows_sklnative(
-            self.skl, jnp.zeros((S, B, L_buf), jnp.uint8),
+            self.skl, jnp.zeros((S, B, packer.l_buf4), jnp.uint8),
             jnp.zeros((S, B), jnp.int32), jnp.zeros((S, B), jnp.int32),
             pipeline.zero_chain(), k=p.k, m=p.m, b=p.b,
-            row_cap=self.skl_row_cap)
+            row_cap=self.skl_row_cap, l_buf=packer.l_buf)
         self.skl = out[0]
         jax.block_until_ready(out[6])
 
@@ -219,12 +224,13 @@ class Brisk:
                 self._dispatch_flush(packer, pending)
                 pending = []
         if pending:
-            B, L_buf = self.batch, packer.l_buf
+            B = self.batch
             while len(pending) < S:  # pad to the compiled stack shape
                 pending.append(windows.WinBatch(
-                    np.zeros((B, L_buf), np.uint8),
+                    np.zeros((B, packer.l_buf4), np.uint8),
                     np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
-                    np.full(B, -1, np.int64), np.zeros(B, np.int32)))
+                    np.full(B, -1, np.int64), np.zeros(B, np.int32),
+                    packer.l_buf))
             self._dispatch_flush(packer, pending)
         self._drain()
 
@@ -234,23 +240,24 @@ class Brisk:
         host packing overlaps device compute (VERDICT r2 item 1)."""
         p = self.params
         S, B = len(batches), self.batch
-        codes = np.stack([bt.codes for bt in batches])
         vs = np.stack([bt.valid_start for bt in batches])
         ve = np.stack([bt.valid_end for bt in batches])
         if self.keep_superkmers:
+            codes4 = np.stack([bt.codes4 for bt in batches])
             flush_rows = S * B * self.skl_row_cap
             if self._rows_ub + flush_rows > self.skl.bucket.shape[0]:
                 self._drain()  # exact n_rows; grow only if truly needed
                 self.skl = sklstore.ensure_room(self.skl, flush_rows)
             (self.skl, n_sk, n_km, cert, ends, ovf,
              n_rows_after, self._chain) = pipeline.insert_windows_sklnative(
-                self.skl, jnp.asarray(codes), jnp.asarray(vs),
+                self.skl, jnp.asarray(codes4), jnp.asarray(vs),
                 jnp.asarray(ve), self._chain, k=p.k, m=p.m, b=p.b,
-                row_cap=self.skl_row_cap)
+                row_cap=self.skl_row_cap, l_buf=packer.l_buf)
             self._rows_ub += flush_rows
             self._dirty = True
             self._expanded = None
         else:
+            codes = np.stack([bt.codes for bt in batches])
             raw = S * B * packer.l_out
             cap = self.state.keys.shape[1]
             if int(self.state.n_used) + raw > cap:
@@ -309,14 +316,6 @@ class Brisk:
                 return repaired_ends[j]
             return tuple(e[j] for e in ends_f)
 
-        for j in failed:
-            r, w = int(rec_f[j]), int(win_f[j])
-            assert w > 0, "window 0 is always certified"
-            if j == 0:
-                assert self._prev_tail[:2] == (r, w - 1), \
-                    "stack continuity broken"
-            else:
-                assert rec_f[j - 1] == r and win_f[j - 1] == w - 1
         # group consecutive failures into runs: a run is a contiguous
         # genome span, so it repairs as ONE streaming lane; independent
         # runs batch across lanes in one device call. Chunk very long
@@ -328,6 +327,40 @@ class Brisk:
                 runs[-1].append(j)
             else:
                 runs.append([j])
+        # Degrade, don't die (VERDICT r3 weak #8): a run head whose exact
+        # predecessor state is unavailable (window-0 flagged uncertified,
+        # or a continuity-bookkeeping violation) used to hard-assert and
+        # kill the ingest. Instead: window 0 certifies by construction —
+        # trust its fused insert and only repair successors; a broken
+        # chain falls back to a window-local fresh replay (bit-exact
+        # except adversarial equal-hash repeats spanning the seam).
+        checked = []
+        for run in runs:
+            j0 = run[0]
+            r, w = int(rec_f[j0]), int(win_f[j0])
+            if w == 0:
+                self._degrade(f"window-0 lane flagged uncertified "
+                              f"(record {r}); certified by construction")
+                repaired_ends[j0] = tuple(e[j0] for e in ends_f)
+                if run[1:]:
+                    checked.append(run[1:])
+                continue
+            if j0 == 0:
+                seed_ok = (self._prev_tail is not None
+                           and self._prev_tail[:2] == (r, w - 1))
+            else:
+                seed_ok = (rec_f[j0 - 1] == r and win_f[j0 - 1] == w - 1)
+            if not seed_ok:
+                self._degrade(f"no exact repair seed for record {r} "
+                              f"window {w}; window-local replay")
+                repaired_ends[j0] = self._repair_window_unchained(
+                    batches, j0)
+                self.n_repaired_windows += 1
+                if run[1:]:
+                    checked.append(run[1:])
+                continue
+            checked.append(run)
+        runs = checked
         while runs:
             # a chunk of a split run must wait for its predecessor chunk
             head = {r[0] for r in runs}
@@ -381,6 +414,84 @@ class Brisk:
         self._rows_ub += n_live
         self._dirty = True
         self._expanded = None
+
+    def _degrade(self, msg: str) -> None:
+        """Log a should-not-happen repair-bookkeeping condition instead
+        of asserting (degrade, don't die): a multi-hour ingest must not
+        crash when an exact-repair fallback exists one line away."""
+        import sys
+        self.n_degraded_windows += 1
+        print(f"[brisk_tpu] degraded repair: {msg}", file=sys.stderr)
+
+    def _repair_window_unchained(self, batches, j):
+        """Window-local fresh replay for one failed lane whose exact
+        predecessor state is unavailable: re-run the lane standalone
+        exactly as the fused program would have (fresh init + warm-up
+        replay masked by valid_start) and ACCEPT its emissions. Bit-exact
+        wherever the warm-up re-synced — i.e. always, except adversarial
+        equal-hash repeats spanning the window seam. Returns the lane's
+        replayed end-state 7-tuple (used to seed successors)."""
+        p = self.params
+        B = self.batch
+        s, lane = divmod(int(j), B)
+        bt = batches[s]
+        codes1 = jnp.asarray(bt.codes[lane][None, :])
+        vs1 = jnp.asarray([int(bt.valid_start[lane])], dtype=jnp.int32)
+        ve1 = jnp.asarray([int(bt.valid_end[lane])], dtype=jnp.int32)
+        em, _ = enum_ops.enumerate_batch(
+            codes1, jnp.ones(1, bool), ve1, enum_ops.zero_carry(1),
+            k=p.k, m=p.m, b=p.b, valid_start=vs1)
+        valid = em.valid
+        self.n_emitted += int(jnp.sum(valid))
+        self.n_superkmers += int(jnp.sum(em.boundary & valid))
+        margin = p.k - 1
+        if self.keep_superkmers:
+            L_out = em.valid.shape[1]
+            pos = jnp.arange(margin, margin + L_out,
+                             dtype=jnp.uint32)[None, :]
+            first_valid = pos == vs1[:, None].astype(jnp.uint32)
+            self._append_skl_from_emissions(em, valid, first_valid, L_out)
+        else:
+            rows = store.make_keys(em.bucket.reshape(-1),
+                                   em.key.reshape(4, -1),
+                                   em.mini_idx.reshape(-1), p.k, p.b)
+            raw = rows.shape[1]
+            if int(self.state.n_used) + raw > self.state.keys.shape[1]:
+                self.state = store.compact_auto(self.state)
+            self.state = store.ensure_room(self.state, raw)
+            self.state = store.append(self.state, rows,
+                                      jnp.ones(raw, dtype=jnp.uint32),
+                                      valid.reshape(-1))
+        return self._end_states(em, np.asarray([int(ve1[0])]), [0])[0]
+
+    def _end_states(self, em, ve, lanes):
+        """Exact per-lane machine-state 7-tuples at each lane's OWN ve
+        (the scan's shared final_state is unusable when spans differ):
+        every state field is a per-position output; heavy is re-derived
+        from the minimizer's decycling class (the hash's top bits,
+        hashing.cpp:17)."""
+        p = self.params
+        km = p.k - p.m
+        margin = p.k - 1
+        dede = pyref.get_decycling(p.m)
+        f_lo = np.asarray(em.mini_lo)
+        f_hi = np.asarray(em.mini_hi)
+        f_rc = np.asarray(em.use_rc)
+        f_mi = np.asarray(em.mini_idx)
+        f_hh = np.asarray(em.hash_hi)
+        f_hl = np.asarray(em.hash_lo)
+        out = []
+        for i in lanes:
+            idx = int(ve[i]) - margin - 1
+            rev = bool(f_rc[i, idx])
+            mi = int(f_mi[i, idx])
+            pos_v = (km - mi) if rev else mi
+            mini = (int(f_hi[i, idx]) << 32) | int(f_lo[i, idx])
+            heavy = dede.mem_double(mini)
+            out.append((np.uint32(f_lo[i, idx]), np.uint32(f_hi[i, idx]),
+                        np.uint32(pos_v), np.bool_(rev), np.uint32(heavy),
+                        np.uint32(f_hh[i, idx]), np.uint32(f_hl[i, idx])))
+        return out
 
     def _repair_skl_overflow(self, bt, lane) -> None:
         """Re-run one certified lane's skl segmentation at full row width
@@ -462,30 +573,9 @@ class Brisk:
             self.state = store.append(self.state, rows,
                                       jnp.ones(raw, dtype=jnp.uint32),
                                       valid.reshape(-1))
-        # each run's exact end state at ITS OWN ve (spans differ, so the
-        # scan's shared final_state is unusable): every state field is a
-        # per-position output; heavy is re-derived from the minimizer's
-        # decycling class (the hash's top bits, hashing.cpp:17)
-        km = p.k - p.m
-        dede = pyref.DecyclingSet(p.m)
-        f_lo = np.asarray(em.mini_lo)
-        f_hi = np.asarray(em.mini_hi)
-        f_rc = np.asarray(em.use_rc)
-        f_mi = np.asarray(em.mini_idx)
-        f_hh = np.asarray(em.hash_hi)
-        f_hl = np.asarray(em.hash_lo)
-        out = []
-        for i in range(R):
-            idx = int(ve[i]) - margin - 1
-            rev = bool(f_rc[i, idx])
-            mi = int(f_mi[i, idx])
-            pos_v = (km - mi) if rev else mi
-            mini = (int(f_hi[i, idx]) << 32) | int(f_lo[i, idx])
-            heavy = dede.mem_double(mini)
-            out.append((np.uint32(f_lo[i, idx]), np.uint32(f_hi[i, idx]),
-                        np.uint32(pos_v), np.bool_(rev), np.uint32(heavy),
-                        np.uint32(f_hh[i, idx]), np.uint32(f_hl[i, idx])))
-        return out
+        # each run's exact end state at ITS OWN ve (_end_states); note
+        # the repair buffer has no warm-up margin offset beyond `margin`
+        return self._end_states(em, ve, list(range(R)))
 
     # -- finalization ------------------------------------------------------
 
@@ -500,8 +590,16 @@ class Brisk:
             return
         self._drain()
         p = self.params
+        f_before = int(self.skl.n_fin_rows)
         self.skl = sklstore.finalize(self.skl, p.k, p.m, p.b)
         self._rows_ub = int(self.skl.n_rows)
+        f_after = int(self.skl.n_fin_rows)
+        if f_after == 0:
+            self._skl_segments = []
+        elif f_after > f_before:
+            # the freshly finalized tail is one new bucket-grouped segment
+            self._skl_segments.append((f_before, f_after))
+        self._bucket_col = None
         self._dirty = False
 
     def _ensure_final(self) -> None:
@@ -553,7 +651,7 @@ class Brisk:
         p = self.params
         if len(kmer) != p.k:
             raise ValueError(f"need a {p.k}-mer, got {len(kmer)} bases")
-        dede = pyref.DecyclingSet(p.m)
+        dede = pyref.get_decycling(p.m)
         km = pyref.str2kmer_record(kmer, p.m, dede)
         key = pyref.hash_kmer_minimizer(km.kmer, km.minimizer_idx, p.m, dede)
         m_mask = p.m_mask
@@ -564,8 +662,13 @@ class Brisk:
                                  p.k, p.b)[:, None]
         if self.keep_superkmers:
             self._ensure_final()
+            if self._bucket_col is None:  # one transfer, reused per get
+                n_fin = int(self.skl.n_fin_rows)
+                self._bucket_col = np.asarray(self.skl.bucket[:n_fin])
             found, vals = sklstore.probe(self.skl, cols, bucket,
-                                         p.k, p.m, p.b)
+                                         p.k, p.m, p.b,
+                                         segments=self._skl_segments,
+                                         bucket_col=self._bucket_col)
         else:
             found, vals = store.lookup(self._query_state(),
                                        jnp.asarray(cols))
@@ -687,6 +790,9 @@ class Brisk:
                                              new_params.m, new_params.b)
             self._expanded = None
             self._rows_ub = int(self.skl.n_rows)
+            # from_entries emits rows in packed-key order = bucket-major
+            self._skl_segments = [(0, int(self.skl.n_fin_rows))]
+            self._bucket_col = None
         else:
             self.state = rekey.reindex(self.state, self.params, new_params)
         self.params = new_params
@@ -706,7 +812,9 @@ class Brisk:
                 skl_offs=np.asarray(self.skl.offs),
                 skl_n=np.array([int(self.skl.n_rows),
                                 int(self.skl.n_fin_rows),
-                                int(self.skl.n_fin_kmers)]))
+                                int(self.skl.n_fin_kmers)]),
+                skl_segments=np.asarray(self._skl_segments,
+                                        dtype=np.int64).reshape(-1, 2))
         else:
             self.state = store.compact_auto(self.state, full=False)
             extra = dict(keys=np.asarray(self.state.keys),
@@ -729,6 +837,12 @@ class Brisk:
                    capacity=(z["keys"].shape[1] if not has_skl else 1 << 10),
                    keep_superkmers=has_skl)
         if has_skl:
+            _, _, _, nw_now = sklstore.skl_dims(params.k, params.m,
+                                                params.b)
+            if z["skl_nucs"].shape[0] != nw_now:
+                raise ValueError(
+                    "checkpoint row format mismatch (different "
+                    "SKL_SIZE_CAP build); re-export via KFF")
             nr, nfr, nfk = (int(x) for x in z["skl_n"])
             self.skl = sklstore.SklState(
                 bucket=jnp.asarray(z["skl_bucket"]),
@@ -739,6 +853,11 @@ class Brisk:
                 n_rows=jnp.int32(nr), n_fin_rows=jnp.int32(nfr),
                 n_fin_kmers=jnp.int32(nfk))
             self._rows_ub = nr
+            if "skl_segments" in z:
+                self._skl_segments = [tuple(int(x) for x in row)
+                                      for row in z["skl_segments"]]
+            elif nfr:
+                self._skl_segments = [(0, nfr)]
         else:
             self.state = store.IndexState(
                 keys=jnp.asarray(z["keys"]), data=jnp.asarray(z["data"]),

@@ -128,9 +128,10 @@ class BriskData:
         if pending:
             while len(pending) < S:
                 pending.append(windows.WinBatch(
-                    np.zeros((B, L_buf), np.uint8),
+                    np.zeros((B, packer.l_buf4), np.uint8),
                     np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
-                    np.full(B, -1, np.int64), np.zeros(B, np.int32)))
+                    np.full(B, -1, np.int64), np.zeros(B, np.int32),
+                    packer.l_buf))
             self._flush(packer, pending)
         self._dirty = True
 
@@ -245,7 +246,7 @@ class BriskData:
         self.state = payload.append(self.state, rows, vals, valid)
         self.n_emitted += int(jnp.sum(valid))
         km = p.k - p.m
-        dede = pyref.DecyclingSet(p.m)
+        dede = pyref.get_decycling(p.m)
         f_lo = np.asarray(em.mini_lo)
         f_hi = np.asarray(em.mini_hi)
         f_rc = np.asarray(em.use_rc)
@@ -297,7 +298,7 @@ class BriskData:
         p = self.params
         if len(kmer) != p.k:
             raise ValueError(f"need a {p.k}-mer, got {len(kmer)} bases")
-        dede = pyref.DecyclingSet(p.m)
+        dede = pyref.get_decycling(p.m)
         km = pyref.str2kmer_record(kmer, p.m, dede)
         key = pyref.hash_kmer_minimizer(km.kmer, km.minimizer_idx, p.m,
                                         dede)

@@ -168,13 +168,24 @@ def insert_windows(state: store.IndexState, codes: jnp.ndarray,
     return state, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, chain
 
 
-@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap"),
+def _unpack4_device(codes4: jnp.ndarray, l_buf: int) -> jnp.ndarray:
+    """Packed (B, L4) uint8 (4 bases/byte, first base in the low bits) ->
+    (B, l_buf) uint32 2-bit codes. Three shifts + an interleaving
+    stack/reshape — no gather (the packed transport saves 4x on the
+    ~13 MB/s host->device tunnel; see io.windows)."""
+    c = codes4.astype(jnp.uint32)
+    un = jnp.stack([c & 3, (c >> 2) & 3, (c >> 4) & 3, (c >> 6) & 3],
+                   axis=-1)
+    return un.reshape(c.shape[0], -1)[:, :l_buf]
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap", "l_buf"),
          donate_argnums=(0,))
 def insert_windows_sklnative(skl, codes: jnp.ndarray,
                              valid_start: jnp.ndarray,
                              valid_end: jnp.ndarray, chain,
                              k: int, m: int, b: int,
-                             row_cap: int):
+                             row_cap: int, l_buf: int = 0):
     """THE product insert program (k <= 32): sequence-parallel window
     stack -> compacted super-k-mer rows ONLY. No per-k-mer store — the skl
     arena IS the index (the reference's Bucket<DATA> stores nothing but
@@ -194,10 +205,15 @@ def insert_windows_sklnative(skl, codes: jnp.ndarray,
     scalar (safe to read back after the returned skl has been donated to
     the next flush). Preconditions: skl donated; skl.n_rows + S*B*row_cap
     <= rcap for EVERY step of the stack (host tracks an upper bound and
-    grows ahead of time)."""
+    grows ahead of time).
+
+    codes is PACKED (S, B, l_buf4) uint8 (io.windows.pack4) when l_buf>0
+    is passed; legacy unpacked (S, B, L_buf) input is accepted with
+    l_buf=0 (tests)."""
     from brisk_tpu.index import sklstore
 
-    S, B, L_buf = codes.shape
+    S, B, _L = codes.shape
+    L_buf = l_buf if l_buf else _L
     margin = k - 1
     fresh = jnp.ones((B,), dtype=bool)
     zero = enum_ops.zero_carry(B)
@@ -209,6 +225,8 @@ def insert_windows_sklnative(skl, codes: jnp.ndarray,
     def step(carry, xs):
         sk, ch = carry
         codes_i, vs_i, ve_i = xs
+        if l_buf:
+            codes_i = _unpack4_device(codes_i, l_buf)
         em, end = enum_ops.enumerate_batch(codes_i, fresh, ve_i, zero,
                                            k=k, m=m, b=b, valid_start=vs_i)
         exact, ch = _chain_exact(em, end, vs_i, ch, margin)

@@ -50,10 +50,22 @@ U32 = np.uint32
 _INVALID = U32(0xFFFFFFFF)
 
 
+# Max k-mers per stored row. The enumerator's natural bound is
+# 2*(k-m)+1 (41 at k=31 m=11, 85 at k=63 m=21) but the AVERAGE is ~6;
+# rows are fixed-width, so a large s_max inflates both the nucleotide
+# words per row (9 u32 at k=63!) and the finalize expansion work
+# (s_max/avg slots processed per real k-mer). Longer runs are SPLIT into
+# several rows at build time (rows_from_emissions) — k-mer content and
+# counts are unaffected, exactly like the window-seam splits the format
+# already absorbs. 16 keeps nw at 3 words (k=31) / 4 words (k=63) and
+# cuts expansion waste ~2.6x. Power of two (the splitter masks).
+SKL_SIZE_CAP = 16
+
+
 def skl_dims(k: int, m: int, b: int) -> Tuple[int, int, int, int]:
     """(compacted_size, max kmers/skl, max nucleotides, nuc words)."""
     cs = k - b
-    s_max = 2 * (k - m) + 1
+    s_max = min(2 * (k - m) + 1, SKL_SIZE_CAP)
     nt_max = cs + s_max - 1
     return cs, s_max, nt_max, -(-(2 * nt_max) // 32)
 
@@ -180,10 +192,16 @@ def rows_from_emissions(key: jnp.ndarray, bucket: jnp.ndarray,
 
     seg_start = valid & (boundary | first_valid)
     nxt = lambda x: jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
-    is_last = valid & (~nxt(valid) | nxt(seg_start))
-
     pos = jnp.broadcast_to(jnp.arange(L, dtype=U32)[None, :], (B, L))
     BIG = U32(0x7FFFFFFF)
+    if 2 * (k - m) + 1 > s_max:
+        # split runs longer than s_max into several rows (SKL_SIZE_CAP):
+        # a position whose offset from its natural segment start is a
+        # multiple of s_max starts a new row
+        first0 = jax.lax.cummax(jnp.where(seg_start, pos, U32(0)), axis=1)
+        j0 = jnp.where(valid, pos - first0, 0)
+        seg_start = seg_start | (valid & ((j0 & U32(s_max - 1)) == 0))
+    is_last = valid & (~nxt(valid) | nxt(seg_start))
     # nearest segment last at/after p; nearest start at/before p
     last_pos = jax.lax.cummin(jnp.where(is_last, pos, BIG), axis=1,
                               reverse=True)
@@ -627,124 +645,88 @@ def _consolidate_dense(keys, srow, sj, cnt):
     return back[2]  # (S2,) arena-slot-order totals
 
 
-@partial(jax.jit, static_argnames=("nw",), donate_argnums=(0, 1, 2))
-def _rebuild_rows(bucket, meta, nucs, arena_counts, srow, n_rows,
-                  nw: int):
-    """Drop rows whose every slot count is zero, re-order survivors
-    grouped by bucket (stable in arena order), and permute the per-slot
-    counts into the new row order. Sort-merge joins everywhere; no
-    gathers.
+@partial(jax.jit, static_argnames=("wp",), donate_argnums=(0, 1, 2))
+def _bucket_sort_tail(bucket, meta, nucs, f, wp: int):
+    """Sort the unfinalized row tail [f, f+wp) by (bucket, arena order):
+    groups the new rows by bucket so lookups can slice them, and pushes
+    INVALID tombstones past the live tail (they are dropped by the
+    caller's n_rows update). The finalized prefix [0, f) is untouched —
+    its rows must keep their order because data[t] aligns with dense
+    slot t of the prefix expansion (see _base_counts)."""
+    nw = nucs.shape[0]
+    b_t = jax.lax.dynamic_slice(bucket, (f,), (wp,))
+    m_t = jax.lax.dynamic_slice(meta, (f,), (wp,))
+    n_t = jax.lax.dynamic_slice(nucs, (jnp.int32(0), f), (nw, wp))
+    iota = jnp.arange(wp, dtype=U32)
+    out = jax.lax.sort((b_t, iota, m_t) + tuple(n_t[i] for i in range(nw)),
+                       num_keys=2)
+    n_live = jnp.sum(out[0] != _INVALID).astype(jnp.int32)
+    bucket = jax.lax.dynamic_update_slice(bucket, out[0], (f,))
+    meta = jax.lax.dynamic_update_slice(meta, out[2], (f,))
+    nucs = jax.lax.dynamic_update_slice(nucs, jnp.stack(out[3:]),
+                                        (jnp.int32(0), f))
+    return bucket, meta, nucs, n_live
 
-    Returns (bucket', meta', nucs', data' (S2,), offs' (rcap,), n_keep,
-    total_k)."""
-    rcap = bucket.shape[0]
-    S2 = srow.shape[0]
-    r_iota = jnp.arange(rcap, dtype=U32)
-    live_row = (bucket != _INVALID) & (r_iota < n_rows.astype(U32))
 
-    # per-row any(count > 0): merge one tag0 record PER ARENA ROW with
-    # the slot records (tag1); a reverse segmented OR flows each row
-    # segment's value onto its tag0 record (tag0 sorts first in its
-    # segment); extracting tag0 records sorted by row id realigns the
-    # result with arena row order (ids are distinct 0..rcap-1)
-    m_row = jnp.concatenate([r_iota, srow])
-    m_tag = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
-                             jnp.ones(S2, dtype=U32)])
-    m_val = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
-                             (arena_counts > 0).astype(U32)])
-    ms_row, ms_tag, ms_val = jax.lax.sort((m_row, m_tag, m_val),
-                                          num_keys=2)
-    seg_first = jnp.zeros(rcap + S2, dtype=bool).at[0].set(True)
-    seg_first = seg_first | (ms_row != jnp.roll(ms_row, 1))
-    seg_last = jnp.roll(seg_first, -1).at[-1].set(True)
-
-    def or_back(a, bb):  # reverse scan: bb is the EARLIER element
-        av, af = a
-        bv, bf = bb
-        return (bv | jnp.where(bf, 0, av), af | bf)
-
-    seg_or, _ = jax.lax.associative_scan(or_back, (ms_val, seg_last),
-                                         reverse=True)
-    key0 = jnp.where(ms_tag == 0, ms_row, _INVALID)
-    ex = jax.lax.sort((key0, seg_or), num_keys=1)
-    any_live = jax.lax.dynamic_slice(ex[1], (0,), (rcap,)) > 0
-    keep = live_row & any_live
-
-    # row compaction + bucket grouping (stable by arena order)
-    keepkey = jnp.where(keep, U32(0), U32(1))
-    bsort = jnp.where(keep, bucket, _INVALID)
-    rs = jax.lax.sort((keepkey, bsort, r_iota, meta)
-                      + tuple(nucs[i] for i in range(nw)), num_keys=3)
-    new_bucket = jnp.where(rs[0] == 0, rs[1], _INVALID)
-    old_idx = rs[2]
-    new_meta = rs[3]
-    new_nucs = jnp.stack(rs[4:4 + nw])
-    n_keep = jnp.sum(keep).astype(jnp.int32)
-    rank = jnp.arange(rcap, dtype=U32)
-    kept_rank = rank < n_keep.astype(U32)
-    new_sizes = jnp.where(kept_rank, new_meta & U32(0xFF), 0)
-    csz = jnp.cumsum(new_sizes, dtype=jnp.uint32)
-    offs = jnp.where(kept_rank, csz - new_sizes, 0).astype(U32)
-    total_k = csz[-1]
-
-    # per-slot new row rank: sort-merge join of (old_idx -> rank, tag0)
-    # with the slot records (tag1); every segment STARTS with either its
-    # tag0 record (kept row) or a tag1 slot (dropped row), and the fill
-    # scan re-seeds at every segment start, so dropped rows''' slots get
-    # INVALID and sort to the tail
-    j_row = jnp.concatenate([jnp.where(kept_rank, old_idx, _BIGROW), srow])
-    j_tag = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
-                             jnp.ones(S2, dtype=U32)])
-    j_payload = jnp.concatenate([jnp.where(kept_rank, rank, _INVALID),
-                                 jnp.zeros(S2, dtype=U32)])
-    j_cnt = jnp.concatenate([jnp.zeros(rcap, dtype=U32), arena_counts])
-    j_t = jnp.concatenate([jnp.zeros(rcap, dtype=U32),
-                           jnp.arange(S2, dtype=U32)])
-    js_row, js_tag, js_payload, js_cnt, js_t = jax.lax.sort(
-        (j_row, j_tag, j_payload, j_cnt, j_t), num_keys=2)
-    sfirst = jnp.zeros(rcap + S2, dtype=bool).at[0].set(True)
-    sfirst = sfirst | (js_row != jnp.roll(js_row, 1))
-    seed = jnp.where(js_tag == 0, js_payload, _INVALID)
-
-    def fill(a, bb):  # forward scan: bb is the LATER element
-        av, af = a
-        bv, bf = bb
-        return (jnp.where(bf, bv, av), af | bf)
-
-    filled, _ = jax.lax.associative_scan(fill, (seed, sfirst))
-    slot_rank = jnp.where(js_tag == 1, filled, _INVALID)
-    fs = jax.lax.sort((slot_rank, js_t, js_cnt), num_keys=2)
-    new_data = jax.lax.dynamic_slice(fs[2], (0,), (S2,))
-    return (new_bucket, new_meta, new_nucs, new_data, offs, n_keep,
-            total_k.astype(jnp.int32))
+@jax.jit
+def _offs_total(bucket, meta, n_rows):
+    """Per-row data offsets (exclusive cumsum of sizes over the live
+    prefix) + total k-mer slot count."""
+    iota = jnp.arange(bucket.shape[0], dtype=U32)
+    live = (bucket != _INVALID) & (iota < n_rows.astype(U32))
+    sizes = jnp.where(live, meta & U32(0xFF), 0)
+    csum = jnp.cumsum(sizes, dtype=jnp.uint32)
+    offs = jnp.where(live, csum - sizes, 0).astype(U32)
+    return offs, (csum[-1]).astype(jnp.int32)
 
 
 def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
     """Device-resident finalize: consolidate duplicate k-mer counts,
-    drop dead rows, group rows by bucket — everything in HBM; the host
-    reads only scalars (the transfer-bound host finalize above moved
-    ~2 GB over a ~12 MB/s tunnel)."""
+    bucket-group the fresh row tail — everything in HBM; the host reads
+    only scalars (the transfer-bound host finalize above moved ~2 GB
+    over a ~12 MB/s tunnel).
+
+    Round-4 redesign: rows are bucket-sorted BEFORE expansion (the fresh
+    tail only), so after consolidation data[t] is simply the dense-slot
+    totals in arena order — no post-hoc row/slot permutation. The round-3
+    `_rebuild_rows` mega-program (three (rcap+S2)-wide merge-join sorts)
+    made the remote TPU compiler OOM at 50 Mb scale and is gone. Each
+    finalize leaves the arena as a sequence of bucket-grouped SEGMENTS
+    ([0, prior n_fin) segments + the newly sorted tail); lookups probe
+    each segment (api tracks the boundaries — reference analog: the
+    sorted-prefix/unsorted-tail split per bucket, buckets.hpp:166-189).
+    Rows whose every slot consolidated to zero are NOT dropped (they
+    cost arena space until a full rebuild; correctness is unaffected —
+    zero-count slots add nothing to probes)."""
     cs, s_max, nt_max, nw = skl_dims(k, m, b)
-    n = int(state.n_rows)
-    if n == 0:
+    F, N = int(state.n_fin_rows), int(state.n_rows)
+    if N == 0:
         return empty(state.bucket.shape[0], state.data.shape[0], nw)
+    if N == F:
+        return state  # fully finalized already (idempotent)
+    wp = 1 << max(10, (N - F - 1).bit_length())
+    if F + wp > state.bucket.shape[0]:
+        state = grow(state, 1 << (F + wp - 1).bit_length(),
+                     state.data.shape[0])
+    bucket, meta, nucs, n_live_t = _bucket_sort_tail(
+        state.bucket, state.meta, state.nucs, jnp.int32(F), wp=wp)
+    N = F + int(n_live_t)
+    state = state._replace(bucket=bucket, meta=meta, nucs=nucs,
+                           n_rows=jnp.int32(N))
     keys, srow, sj, counts, n_slots, total_ub = expand_device(
         state, k, m, b)
     arena_counts = _consolidate_dense(keys, srow, sj, counts)
-    (bucket, meta, nucs, data, offs, n_keep,
-     total_k) = _rebuild_rows(state.bucket, state.meta, state.nucs,
-                              arena_counts, srow, state.n_rows, nw=nw)
-    nk = int(n_keep)
+    offs, total_k = _offs_total(state.bucket, state.meta, state.n_rows)
     tk = int(total_k)
-    # size the data arena to a pow2 >= total_k
     kcap = 1 << max(14, (max(tk, 1) - 1).bit_length())
-    if kcap < data.shape[0]:
+    data = arena_counts
+    if kcap <= data.shape[0]:
         data = jax.lax.dynamic_slice(data, (0,), (kcap,))
-    elif kcap > data.shape[0]:
+    else:
         data = jnp.pad(data, (0, kcap - data.shape[0]))
-    return SklState(bucket=bucket, meta=meta, nucs=nucs, data=data,
-                    offs=offs, n_rows=jnp.int32(nk),
-                    n_fin_rows=jnp.int32(nk), n_fin_kmers=jnp.int32(tk))
+    return state._replace(data=data, offs=offs,
+                          n_fin_rows=jnp.int32(N),
+                          n_fin_kmers=jnp.int32(tk))
 
 
 # -- serving lookups from the finalized arena (C8 as the backing store) --
@@ -764,55 +746,77 @@ def expanded_state(state: SklState, k: int, m: int, b: int):
     return store.compact_fast(st)
 
 
-def bucket_slice(state: SklState, bucket_id: int) -> Tuple[int, int]:
-    """Row range [lo, hi) of one bucket in a bucket-sorted finalized
-    arena (host binary search on the bucket column)."""
+def bucket_slice(state: SklState, bucket_id: int, segments=None,
+                 bucket_col: np.ndarray = None):
+    """Row ranges of one bucket across the arena's bucket-grouped
+    segments (host binary search on the bucket column). `segments` is the
+    list of (lo, hi) row ranges each individually bucket-sorted (one per
+    finalize — the reference analog of the sorted-prefix/unsorted-tail
+    split, buckets.hpp:166-189); None means one segment covering all
+    finalized rows. `bucket_col` is an optional HOST cache of the bucket
+    column — without it every call pays a device->host transfer of the
+    whole column (~2.5 s at 50 Mb scale on the tunneled backend)."""
     n = int(state.n_fin_rows)
-    col = np.asarray(state.bucket[:n])
-    lo = int(np.searchsorted(col, bucket_id, side="left"))
-    hi = int(np.searchsorted(col, bucket_id, side="right"))
-    return lo, hi
+    if segments is None:
+        segments = [(0, n)]
+    if bucket_col is None:
+        bucket_col = np.asarray(state.bucket[:n])
+    out = []
+    for lo, hi in segments:
+        seg = bucket_col[lo:hi]
+        l = lo + int(np.searchsorted(seg, bucket_id, side="left"))
+        h = lo + int(np.searchsorted(seg, bucket_id, side="right"))
+        if h > l:
+            out.append((l, h))
+    return out
 
 
 def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
-          k: int, m: int, b: int):
+          k: int, m: int, b: int, segments=None,
+          bucket_col: np.ndarray = None):
     """Count lookup for a handful of packed keys known to live in one
-    bucket: expand just that bucket's rows and sum counts of matching
-    slots (the reference's find_kmer bounded scan, buckets.hpp:499-519,
-    recast as a tiny dense expand+compare). Returns (found (Q,) bool,
-    counts (Q,) u32)."""
+    bucket: expand just that bucket's rows (across all segments) and sum
+    counts of matching slots (the reference's find_kmer bounded scan,
+    buckets.hpp:499-519, recast as a tiny dense expand+compare).
+    Duplicate slots beyond the first hold zero counts, so summing across
+    segments is exact. Returns (found (Q,) bool, counts (Q,) u32)."""
     cs, s_max, _, nw = skl_dims(k, m, b)
-    lo, hi = bucket_slice(state, bucket_id)
+    ranges = bucket_slice(state, bucket_id, segments, bucket_col)
     Q = packed_cols.shape[1]
-    if hi == lo:
-        return np.zeros(Q, bool), np.zeros(Q, np.uint32)
-    R = hi - lo
-    Rp = 1 << max(4, (R - 1).bit_length())  # pad: reuse compiled shapes
-    bucket_np = np.full(Rp, 0xFFFFFFFF, np.uint32)
-    meta_np = np.zeros(Rp, np.uint32)
-    nucs_np = np.zeros((state.nucs.shape[0], Rp), np.uint32)
-    bucket_np[:R] = np.asarray(state.bucket[lo:hi])
-    meta_np[:R] = np.asarray(state.meta[lo:hi])
-    nucs_np[:, :R] = np.asarray(state.nucs[:, lo:hi])
-    offs = np.asarray(state.offs[lo:hi]).astype(np.int64)
-    idx = np.clip(offs[:, None] + np.arange(s_max)[None, :], 0,
-                  max(state.data.shape[0] - 1, 1))
-    base_count = np.zeros((Rp, s_max), np.uint32)
-    base_count[:R] = np.asarray(state.data)[idx]
-    keys, cnt, val = _expand_chunk(
-        jnp.asarray(bucket_np), jnp.asarray(meta_np),
-        jnp.asarray(nucs_np), jnp.asarray(base_count),
-        k=k, m=m, b=b, s_max=s_max)
-    keys = np.asarray(keys)
-    cnt = np.asarray(cnt)
-    val = np.asarray(val)
-    W = keys.shape[0]
-    eq = np.ones((Q, keys.shape[1]), bool)
-    for i in range(W):
-        eq &= keys[i][None, :] == packed_cols[i][:, None]
-    eq &= val[None, :]
-    found = eq.any(axis=1)
-    counts = (eq * cnt[None, :].astype(np.uint64)).sum(axis=1)
+    found = np.zeros(Q, bool)
+    counts = np.zeros(Q, np.uint64)
+    for lo, hi in ranges:
+        R = hi - lo
+        Rp = 1 << max(4, (R - 1).bit_length())  # pad: reuse compiled shapes
+        bucket_np = np.full(Rp, 0xFFFFFFFF, np.uint32)
+        meta_np = np.zeros(Rp, np.uint32)
+        nucs_np = np.zeros((state.nucs.shape[0], Rp), np.uint32)
+        bucket_np[:R] = np.asarray(state.bucket[lo:hi])
+        meta_np[:R] = np.asarray(state.meta[lo:hi])
+        nucs_np[:, :R] = np.asarray(state.nucs[:, lo:hi])
+        offs = np.asarray(state.offs[lo:hi]).astype(np.int64)
+        # rows of a segment are contiguous in data: transfer just that span
+        d_lo = int(offs[0])
+        d_hi = min(int(offs[-1]) + s_max, state.data.shape[0])
+        dslice = np.asarray(state.data[d_lo:d_hi])
+        idx = np.clip(offs[:, None] + np.arange(s_max)[None, :] - d_lo, 0,
+                      max(len(dslice) - 1, 1))
+        base_count = np.zeros((Rp, s_max), np.uint32)
+        base_count[:R] = dslice[idx]
+        keys, cnt, val = _expand_chunk(
+            jnp.asarray(bucket_np), jnp.asarray(meta_np),
+            jnp.asarray(nucs_np), jnp.asarray(base_count),
+            k=k, m=m, b=b, s_max=s_max)
+        keys = np.asarray(keys)
+        cnt = np.asarray(cnt)
+        val = np.asarray(val)
+        W = keys.shape[0]
+        eq = np.ones((Q, keys.shape[1]), bool)
+        for i in range(W):
+            eq &= keys[i][None, :] == packed_cols[i][:, None]
+        eq &= val[None, :]
+        found |= eq.any(axis=1)
+        counts += (eq * cnt[None, :].astype(np.uint64)).sum(axis=1)
     return found, counts.astype(np.uint32)
 
 

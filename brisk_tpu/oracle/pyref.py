@@ -24,6 +24,7 @@ Deliberately replicated quirks (do NOT "fix" these — parity depends on them):
   (``mini != fwd`` is False) inside ``get_minimizer`` (Kmers.cpp:374).
 """
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
@@ -148,6 +149,13 @@ class DecyclingSet:
             if self.compute_r(rot) > -self.eps:
                 return 1
         return 2
+
+
+@functools.lru_cache(maxsize=None)
+def get_decycling(m: int) -> DecyclingSet:
+    """Shared per-m DecyclingSet (scalar lookups used to rebuild the
+    sin-coefficient table on every get(); VERDICT r3 item 6)."""
+    return DecyclingSet(m)
 
 
 # ---------------------------------------------------------------------------

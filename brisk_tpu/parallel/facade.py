@@ -47,6 +47,8 @@ class ShardedBrisk:
                  batch_per_shard: int = 64, window: int = 256,
                  stack: int = 4, route_cap: int = None,
                  capacity: int = 1 << 16, keep_superkmers: bool = True):
+        import brisk_tpu
+        brisk_tpu.enable_persistent_cache()  # TPU-only; no-op on CPU
         from brisk_tpu.parallel import multihost
         if mesh is None:
             if jax.process_count() > 1:
@@ -232,9 +234,10 @@ class ShardedBrisk:
 
         def empty_batch():
             return windows.WinBatch(
-                np.zeros((my_B, L_buf), np.uint8),
+                np.zeros((my_B, packer.l_buf4), np.uint8),
                 np.zeros(my_B, np.int32), np.zeros(my_B, np.int32), 0, 0,
-                np.full(my_B, -1, np.int64), np.zeros(my_B, np.int32))
+                np.full(my_B, -1, np.int64), np.zeros(my_B, np.int32),
+                packer.l_buf)
 
         n_flushes_target = None
         if self.multihost:
@@ -458,7 +461,7 @@ class ShardedBrisk:
         self._repair_superkmers += int(jnp.sum(em.boundary & em.valid))
         margin = p.k - 1
         km = p.k - p.m
-        dede = pyref.DecyclingSet(p.m)
+        dede = pyref.get_decycling(p.m)
         f_lo = np.asarray(em.mini_lo)
         f_hi = np.asarray(em.mini_hi)
         f_rc = np.asarray(em.use_rc)
@@ -618,7 +621,7 @@ class ShardedBrisk:
         p = self.params
         if len(kmer) != p.k:
             raise ValueError(f"need a {p.k}-mer, got {len(kmer)} bases")
-        dede = pyref.DecyclingSet(p.m)
+        dede = pyref.get_decycling(p.m)
         km = pyref.str2kmer_record(kmer, p.m, dede)
         key = pyref.hash_kmer_minimizer(km.kmer, km.minimizer_idx, p.m, dede)
         slice_hash = pyref.bfc_hash_64(

@@ -16,6 +16,11 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+# the tunneled TPU plugin IGNORES the JAX_PLATFORMS env var; only the
+# config API reliably forces the CPU backend here (tests/conftest.py does
+# the same)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,6 +8,7 @@ import pytest
 
 from brisk_tpu.index import sklstore, store
 from brisk_tpu.ops import enumerate as enum_ops
+from brisk_tpu.oracle import pyref
 
 random.seed(1234)
 
@@ -235,6 +236,44 @@ def test_reallocate_rebuilds_skl():
     got = expanded_counts(br.skl, br.params.k, br.params.m, br.params.b)
     exp = brisk_key_counts(ref)
     assert got == exp
+
+
+def test_incremental_finalize_segments():
+    """insert -> finalize -> insert -> finalize leaves TWO bucket-grouped
+    segments (round-4 finalize never reorders the finalized prefix);
+    counts, scalar probes and items() must stay exact across segments,
+    with cross-segment duplicates consolidated onto the FIRST slot."""
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    k, m, b = 31, 11, 8
+    s1 = rand_seq(600)
+    s2 = rand_seq(500) + s1[:200]  # overlap -> cross-segment duplicates
+    br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
+    br.insert_sequence(s1)
+    br.finalize()
+    assert len(br._skl_segments) == 1
+    br.insert_sequence(s2)
+    br.finalize()
+    assert len(br._skl_segments) == 2
+    exp = {}
+    dede = pyref.get_decycling(m)
+    for seq in (s1, s2):
+        for rec, _, _ in pyref.scan_emissions(seq, k, m, dede):
+            exp[rec.kmer] = (exp.get(rec.kmer, 0) + 1) % 256
+    assert br.counts_dict() == exp
+    # scalar gets hit the multi-segment probe path (both orientations)
+    hits = 0
+    for q in (s1[5:5 + k], s2[100:100 + k], s1[50:50 + k]):
+        v = br.get_canonical(q)
+        qv = pyref.str2num(q)
+        want = exp.get(qv, exp.get(pyref.revcomp(qv, k)))
+        assert v == want, q
+        hits += 1
+    assert hits == 3
+    # a third finalize with nothing new is a no-op
+    segs = list(br._skl_segments)
+    br.finalize()
+    assert br._skl_segments == segs
 
 
 def test_memory_reduction_vs_perkmer():
