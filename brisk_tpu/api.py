@@ -269,19 +269,37 @@ class Brisk:
              self._chain) = pipeline.insert_windows(
                 self.state, jnp.asarray(codes), jnp.asarray(vs),
                 jnp.asarray(ve), self._chain, k=p.k, m=p.m, b=p.b)
-            ovf = n_rows_after = None
-        self._pending.append(dict(batches=batches, cert=cert, ends=ends,
-                                  ovf=ovf, n_sk=n_sk, n_km=n_km,
-                                  n_rows_after=n_rows_after,
-                                  packer=packer))
+            ovf = None
+        # pack cert+ovf into ONE small device array: retire then pays a
+        # single ~16 KB transfer instead of several round-trips on the
+        # high-latency tunnel link
+        flags = cert.astype(jnp.uint8)
+        if ovf is not None:
+            flags = flags | (ovf.astype(jnp.uint8) << 1)
+        self._pending.append(dict(batches=batches, flags=flags, ends=ends,
+                                  has_ovf=ovf is not None,
+                                  n_sk=n_sk, n_km=n_km, packer=packer))
         if len(self._pending) > _INFLIGHT_DEPTH:
             self._retire(self._pending.pop(0))
 
     def _drain(self) -> None:
         while self._pending:
             self._retire(self._pending.pop(0))
+        self._settle_counts()
         if self.keep_superkmers and self.skl is not None:
             self._rows_ub = int(self.skl.n_rows)
+
+    def _settle_counts(self) -> None:
+        """Fold the deferred per-flush device counter scalars in ONE
+        transfer (per-flush int() readbacks serialized the pipeline on
+        the tunnel's round-trip latency)."""
+        if not self._count_acc:
+            return
+        flat = jax.device_get([(r[0], r[1]) for r in self._count_acc])
+        for (n_sk, n_km), (_, _, n_recs) in zip(flat, self._count_acc):
+            self.n_superkmers += int(n_sk) + n_recs
+            self.n_emitted += int(n_km)
+        self._count_acc = []
 
     def _retire(self, rec) -> None:
         """Resolve one flush: fold its counters, repair uncertified lanes
@@ -299,22 +317,31 @@ class Brisk:
         packer = rec["packer"]
         batches = rec["batches"]
         S, B = len(batches), self.batch
-        self.n_emitted += int(rec["n_km"])
-        self.n_superkmers += int(rec["n_sk"]) + sum(
-            bt.n_records for bt in batches)
+        self._count_acc.append((rec["n_sk"], rec["n_km"],
+                                sum(bt.n_records for bt in batches)))
 
-        cert_f = np.asarray(rec["cert"]).reshape(-1)
+        flags = np.asarray(rec["flags"]).reshape(-1)
+        cert_f = (flags & 1).astype(bool)
         rec_f = np.concatenate([bt.rec for bt in batches])
         win_f = np.concatenate([bt.win for bt in batches])
-        ends_f = [np.asarray(x).reshape(S * B) for x in rec["ends"]]
         failed = np.nonzero((~cert_f) & (rec_f >= 0))[0]
         repaired_ends = {}
+        ends_cache = []
+
+        def ends_f():
+            """Materialize the per-lane end states LAZILY: the ~0.5 MB
+            transfer only happens for flushes that actually repair (or
+            whose tail state a later repair asks for)."""
+            if not ends_cache:
+                ends_cache.append([np.asarray(x).reshape(S * B)
+                                   for x in rec["ends"]])
+            return ends_cache[0]
 
         def end_of(j):
             """Exact end state of flat lane j (certified or repaired)."""
             if j in repaired_ends:
                 return repaired_ends[j]
-            return tuple(e[j] for e in ends_f)
+            return tuple(e[j] for e in ends_f())
 
         # group consecutive failures into runs: a run is a contiguous
         # genome span, so it repairs as ONE streaming lane; independent
@@ -341,7 +368,7 @@ class Brisk:
             if w == 0:
                 self._degrade(f"window-0 lane flagged uncertified "
                               f"(record {r}); certified by construction")
-                repaired_ends[j0] = tuple(e[j0] for e in ends_f)
+                repaired_ends[j0] = tuple(e[j0] for e in ends_f())
                 if run[1:]:
                     checked.append(run[1:])
                 continue
@@ -368,7 +395,8 @@ class Brisk:
                      {j for rr in runs for j in rr}]
             rest = [r for r in runs if r not in ready]
             assert ready, head
-            carries = [self._prev_tail[2] if r[0] == 0 else end_of(r[0] - 1)
+            carries = [self._prev_tail[2]() if r[0] == 0
+                       else end_of(r[0] - 1)
                        for r in ready]
             end7s = self._repair_runs(packer, batches, ready, carries)
             for r, e7 in zip(ready, end7s):
@@ -380,12 +408,15 @@ class Brisk:
         live = np.nonzero(rec_f >= 0)[0]
         if len(live):
             j = int(live[-1])
-            self._prev_tail = (int(rec_f[j]), int(win_f[j]), end_of(j))
+            # end state stays a THUNK: it is only materialized if a
+            # failure in the next flush actually needs the seed
+            self._prev_tail = (int(rec_f[j]), int(win_f[j]),
+                               lambda jj=j: end_of(jj))
 
         # skl segmentation overflow (certified lanes with more super-k-mers
         # than the fused row budget): rebuild their skl rows at full width
-        if rec["ovf"] is not None:
-            ovf_f = np.asarray(rec["ovf"]).reshape(-1)
+        if rec["has_ovf"]:
+            ovf_f = (flags >> 1).astype(bool)
             for j in np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]:
                 s, lane = divmod(int(j), B)
                 self._repair_skl_overflow(batches[s], lane)
@@ -678,23 +709,42 @@ class Brisk:
 
     def query_file(self, path: str) -> int:
         """Sum of stored counts over every k-mer emission of a query FASTA
-        (reference query_fasta, counter.cpp:314-346)."""
+        (reference query_fasta, counter.cpp:314-346).
+
+        Round-4 path: the query file is enumerated into a TEMPORARY
+        (un-finalized) row arena through the exact insert pipeline — so
+        every already-compiled executable is reused — and resolved with
+        ONE sort-merge join against the finalized index
+        (sklstore.query_join_total). The old per-batch binary search was
+        a 27-step gather per batch: pathological on TPU and ~2x slower
+        than this join at 50 Mb."""
         p = self.params
-        qstate = self._query_state()
-        total = 0
-        carry = enum_ops.zero_carry(self.batch)
-        for bt in fasta.fasta_batches(path, p.k, self.batch, self.window):
-            em, carry = enum_ops.enumerate_batch(
-                jnp.asarray(bt.codes, dtype=jnp.uint32),
-                jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
-                carry, k=p.k, m=p.m, b=p.b)
-            rows = store.make_keys(em.bucket.reshape(-1),
-                                   em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1), p.k, p.b)
-            found, vals = store.lookup(qstate, rows)
-            total += int(jnp.sum(
-                jnp.where(found & em.valid.reshape(-1), vals % 256, 0)))
-        return total
+        if not self.keep_superkmers:
+            qstate = self._query_state()
+            total = 0
+            carry = enum_ops.zero_carry(self.batch)
+            for bt in fasta.fasta_batches(path, p.k, self.batch,
+                                          self.window):
+                em, carry = enum_ops.enumerate_batch(
+                    jnp.asarray(bt.codes, dtype=jnp.uint32),
+                    jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
+                    carry, k=p.k, m=p.m, b=p.b)
+                rows = store.make_keys(em.bucket.reshape(-1),
+                                       em.key.reshape(4, -1),
+                                       em.mini_idx.reshape(-1), p.k, p.b)
+                found, vals = store.lookup(qstate, rows)
+                total += int(jnp.sum(
+                    jnp.where(found & em.valid.reshape(-1), vals % 256,
+                              0)))
+            return total
+        self._ensure_final()
+        qbr = Brisk(p, batch=self.batch, window=self.window,
+                    stack=self.stack)
+        qbr.insert_file(path)
+        box = [qbr.skl]  # ownership moves to the join (HBM headroom)
+        qbr.skl = None
+        del qbr
+        return sklstore.query_join_total(self.skl, box, p.k, p.m, p.b)
 
     # -- enumeration -------------------------------------------------------
 

@@ -530,107 +530,161 @@ def finalize_host(state: SklState, k: int, m: int, b: int,
 # are sort-merge joins, dense placements are live-first sorts + slice
 # writes.
 
-_BIGROW = U32(0x7FFFFFFF)
+
 
 
 @partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
-         donate_argnums=(0, 1, 2))
-def _expand_append(out_keys, out_srow, out_sj, n_slots,
-                   bucket_c, meta_c, nucs_c, chunk_start,
-                   k: int, m: int, b: int, s_max: int):
-    """Expand one row chunk to per-slot packed keys and DENSE-append the
-    live slots (live-first sort; the dead tail is overwritten by the
-    next chunk). Dense slot order == arena slot order (rows ascending, j
-    ascending within a row), so slot t of a finalized arena prefix
-    aligns with data[t] — the no-gather invariant _base_counts relies
-    on."""
+         donate_argnums=(0, 1, 2, 3))
+def _expand_dense_prefix(out_keys, out_hi, out_lo, out_cnt, n_slots,
+                         bucket_c, meta_c, nucs_c, data_c,
+                         k: int, m: int, b: int, s_max: int):
+    """Expand one FINALIZED-prefix row chunk to per-slot packed keys and
+    DENSE-append the live slots (live-first sort; the dead tail is
+    overwritten by the next chunk). Dense slot order == arena slot order,
+    so slot t aligns with data[t]: the base count is read off data_c by
+    position, no gather. Tags: (hi=0, lo=dense slot index t) — sorts
+    before every tail tag in the consolidate back-sort."""
     R = bucket_c.shape[0]
     ones = jnp.ones((R, s_max), dtype=U32)
     keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
                                    k=k, m=m, b=b, s_max=s_max)
     W = keys.shape[0]
     n = R * s_max
-    srow = chunk_start + jnp.repeat(jnp.arange(R, dtype=U32), s_max)
-    sj = jnp.tile(jnp.arange(s_max, dtype=U32), R)
     order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
-    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W))
-                       + (srow, sj), num_keys=1)
+    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W)),
+                       num_keys=1)
     live_s = out[0] != _INVALID
     keys_s = tuple(jnp.where(live_s, kk, _INVALID) for kk in out[1:1 + W])
-    srow_s = jnp.where(live_s, out[1 + W], _BIGROW)
-    sj_s = out[2 + W]
     n_live = jnp.sum(val).astype(jnp.int32)
+    t = n_slots.astype(U32) + jnp.arange(n, dtype=U32)
+    hi_s = jnp.where(live_s, U32(0), _INVALID)
+    lo_s = jnp.where(live_s, t, _INVALID)
+    # base counts by position: slot t's count is data[t]; data_c is the
+    # chunk's slice of data starting at this chunk's first slot
+    cnt_s = jnp.where(live_s, data_c[:n], 0)
     out_keys = jax.lax.dynamic_update_slice(
         out_keys, jnp.stack(keys_s), (jnp.int32(0), n_slots))
-    out_srow = jax.lax.dynamic_update_slice(out_srow, srow_s, (n_slots,))
-    out_sj = jax.lax.dynamic_update_slice(out_sj, sj_s, (n_slots,))
-    return out_keys, out_srow, out_sj, n_slots + n_live
+    out_hi = jax.lax.dynamic_update_slice(out_hi, hi_s, (n_slots,))
+    out_lo = jax.lax.dynamic_update_slice(out_lo, lo_s, (n_slots,))
+    out_cnt = jax.lax.dynamic_update_slice(out_cnt, cnt_s, (n_slots,))
+    return out_keys, out_hi, out_lo, out_cnt, n_slots + n_live
 
 
-@jax.jit
-def _base_counts(srow, n_slots, n_fin_kmers, data):
-    """Per dense slot t: finalized rows are the arena prefix and expand
-    to exactly the dense slots [0, n_fin_kmers), so the base count is
-    data[t] there and 1 for fresh live slots — an iota compare, no
-    gather."""
-    S2 = srow.shape[0]
-    t = jnp.arange(S2)
-    data_p = jnp.zeros((S2,), dtype=U32)
-    ncopy = min(data.shape[0], S2)
-    data_p = jax.lax.dynamic_update_slice(data_p, data[:ncopy], (0,))
-    return jnp.where(t < n_fin_kmers, data_p,
-                     jnp.where(t < n_slots, U32(1), U32(0)))
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
+         donate_argnums=(0, 1, 2, 3))
+def _expand_strided(out_keys, out_hi, out_lo, out_cnt,
+                    bucket_c, meta_c, nucs_c, row0, write_pos,
+                    k: int, m: int, b: int, s_max: int):
+    """Expand one FRESH row chunk to STRIDED slots — pure elementwise,
+    NO sort (this was 10 s of the 50 Mb finalize as dense per-chunk
+    sorts). Slot (r, j) lands at buffer offset write_pos + r*s_max + j
+    with tag (hi = 1<<31 | bucket, lo = global_row*s_max + j); dead
+    slots get all-ones tags. The consolidate back-sort orders by tag =
+    (segment, bucket, old row, j) == the arena order AFTER the bucket
+    tail sort, with dead slots last — which makes the returned totals
+    DENSE in final arena order without ever dense-packing here."""
+    R = bucket_c.shape[0]
+    ones = jnp.ones((R, s_max), dtype=U32)
+    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
+                                   k=k, m=m, b=b, s_max=s_max)
+    W = keys.shape[0]
+    n = R * s_max
+    row_g = row0 + jnp.repeat(jnp.arange(R, dtype=U32), s_max)
+    j = jnp.tile(jnp.arange(s_max, dtype=U32), R)
+    bkt = jnp.repeat(bucket_c, s_max)
+    hi = jnp.where(val, U32(1 << 31) | bkt, _INVALID)
+    lo = jnp.where(val, row_g * U32(s_max) + j, _INVALID)
+    keys_m = tuple(jnp.where(val, keys[i], _INVALID) for i in range(W))
+    out_keys = jax.lax.dynamic_update_slice(
+        out_keys, jnp.stack(keys_m), (jnp.int32(0), write_pos))
+    out_hi = jax.lax.dynamic_update_slice(out_hi, hi, (write_pos,))
+    out_lo = jax.lax.dynamic_update_slice(out_lo, lo, (write_pos,))
+    out_cnt = jax.lax.dynamic_update_slice(
+        out_cnt, jnp.where(val, U32(1), U32(0)), (write_pos,))
+    return out_keys, out_hi, out_lo, out_cnt
+
+
+def _shape_family(n: int, floor: int = 1 << 12) -> int:
+    """Smallest of {2^p, 3*2^(p-1)} >= n: bounds the number of distinct
+    compiled shapes like pow2 sizing but wastes <= 33% instead of <= 100%
+    (a pure pow2 S2 inflated the 50 Mb consolidate sort by 39%)."""
+    n = max(n, floor)
+    p2 = 1 << (n - 1).bit_length()
+    if (3 * p2) // 4 >= n:
+        return (3 * p2) // 4
+    return p2
 
 
 def expand_device(state: SklState, k: int, m: int, b: int,
                   chunk_rows: int = 1 << 18):
-    """Whole-arena expansion, device-resident. Returns (keys (W, S2)
-    INVALID-padded, slot_row (S2,), slot_j (S2,), base counts (S2,),
-    n_slots device scalar, total_k int)."""
+    """Whole-arena expansion, device-resident. The finalized prefix
+    expands DENSE (slot t aligns with data[t], chunked); fresh tail rows
+    expand STRIDED in ONE device call (no sorts, no per-chunk dispatch —
+    23 chunked calls cost ~10 s of pure dispatch latency on the tunneled
+    runtime). Returns (keys (W, S2) INVALID-padded, tag_hi, tag_lo, base
+    counts (all (S2,)), n_slots device scalar, total_k int)."""
     cs, s_max, _, nw = skl_dims(k, m, b)
     W = store.key_words(k, b)
-    n = int(state.n_rows)
-    sizes = jnp.where(state.bucket[:n] != _INVALID,
-                      state.meta[:n] & U32(0xFF), 0) if n else None
-    total_k = int(jnp.sum(sizes)) if n else 0
-    CH = min(chunk_rows, 1 << max(8, (max(n, 1) - 1).bit_length()))
-    # each dense append writes a FULL chunk block (CH*s_max wide, live
-    # slots first) at the tail, so the buffer needs that much headroom
-    S2 = 1 << max(12, (max(total_k + CH * s_max, 1) - 1).bit_length())
+    F = int(state.n_fin_rows)
+    N = int(state.n_rows)
+    F_k = int(state.n_fin_kmers)
+    n_tail = N - F
+    sizes = jnp.where(state.bucket[:N] != _INVALID,
+                      state.meta[:N] & U32(0xFF), 0) if N else None
+    total_k = int(jnp.sum(sizes)) if N else 0
+    F_pad = _shape_family(F, floor=1 << 8) if F else 0
+    R_pad = _shape_family(n_tail, floor=1 << 8) if n_tail else 0
+    S2 = _shape_family((F_pad + R_pad) * s_max)
     out_keys = jnp.full((W, S2), _INVALID, dtype=U32)
-    out_srow = jnp.full((S2,), _BIGROW, dtype=U32)
-    out_sj = jnp.zeros((S2,), dtype=U32)
-    n_slots = jnp.int32(0)
-    for start in range(0, n, CH):
-        end = min(start + CH, n)
-        pad = CH - (end - start)
-        bucket_c = state.bucket[start:end]
-        meta_c = state.meta[start:end]
-        nucs_c = state.nucs[:, start:end]
+    out_hi = jnp.full((S2,), _INVALID, dtype=U32)
+    out_lo = jnp.full((S2,), _INVALID, dtype=U32)
+    out_cnt = jnp.zeros((S2,), dtype=U32)
+
+    def rows(lo_r, hi_r, width):
+        pad = width - (hi_r - lo_r)
+        bucket_c = state.bucket[lo_r:hi_r]
+        meta_c = state.meta[lo_r:hi_r]
+        nucs_c = state.nucs[:, lo_r:hi_r]
         if pad:
             bucket_c = jnp.pad(bucket_c, (0, pad),
                                constant_values=np.uint32(0xFFFFFFFF))
             meta_c = jnp.pad(meta_c, (0, pad))
             nucs_c = jnp.pad(nucs_c, ((0, 0), (0, pad)))
-        out_keys, out_srow, out_sj, n_slots = _expand_append(
-            out_keys, out_srow, out_sj, n_slots, bucket_c, meta_c,
-            nucs_c, U32(start), k=k, m=m, b=b, s_max=s_max)
-    counts = _base_counts(out_srow, n_slots,
-                          jnp.int32(int(state.n_fin_kmers)), state.data)
-    return out_keys, out_srow, out_sj, counts, n_slots, total_k
+        return bucket_c, meta_c, nucs_c
+
+    n_slots = jnp.int32(0)
+    if F:  # finalized prefix: dense, one live-first sort
+        bucket_c, meta_c, nucs_c = rows(0, F, F_pad)
+        need = F_pad * s_max  # exact length: one compiled shape per F_pad
+        if state.data.shape[0] < need:
+            dslice = jnp.pad(state.data, (0, need - state.data.shape[0]))
+        else:
+            dslice = state.data[:need]
+        (out_keys, out_hi, out_lo, out_cnt,
+         n_slots) = _expand_dense_prefix(
+            out_keys, out_hi, out_lo, out_cnt, n_slots,
+            bucket_c, meta_c, nucs_c, dslice, k=k, m=m, b=b, s_max=s_max)
+    if n_tail:  # fresh tail: strided, sort-free, one call
+        bucket_t, meta_t, nucs_t = rows(F, N, R_pad)
+        (out_keys, out_hi, out_lo, out_cnt) = _expand_strided(
+            out_keys, out_hi, out_lo, out_cnt, bucket_t, meta_t, nucs_t,
+            U32(F), jnp.int32(F_pad * s_max),
+            k=k, m=m, b=b, s_max=s_max)
+    return out_keys, out_hi, out_lo, out_cnt, n_slots, total_k
 
 
 @jax.jit
-def _consolidate_dense(keys, srow, sj, cnt):
-    """Sort all slots by key (ties: arena order), land each duplicate
-    run's total on its FIRST slot, return totals re-aligned to arena
-    slot order (the (srow, sj) back-sort). INVALID padding slots sort to
-    the end and get zero totals."""
+def _consolidate_dense(keys, tag_hi, tag_lo, cnt):
+    """Sort all slots by key (ties: tag order = final arena order), land
+    each duplicate run's total on its FIRST slot, back-sort by tag.
+    Because tags order as (finalized-prefix t | (1, bucket, old row, j)
+    | dead), the back-sorted totals are DENSE in the arena order the
+    bucket tail sort produces — dead/pad slots land at the end."""
     W = keys.shape[0]
-    S2 = srow.shape[0]
-    ops = tuple(keys[i] for i in range(W)) + (srow, sj, cnt)
+    S2 = tag_hi.shape[0]
+    ops = tuple(keys[i] for i in range(W)) + (tag_hi, tag_lo, cnt)
     out = jax.lax.sort(ops, num_keys=W + 2)
-    skeys, s_row, s_j, scnt = out[:W], out[W], out[W + 1], out[W + 2]
+    skeys, s_hi, s_lo, scnt = out[:W], out[W], out[W + 1], out[W + 2]
     first = jnp.zeros(S2, dtype=bool).at[0].set(True)
     neq = jnp.zeros(S2, dtype=bool)
     for i in range(W):
@@ -641,8 +695,8 @@ def _consolidate_dense(keys, srow, sj, cnt):
     last_csum = jax.lax.cummin(
         jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
     totals = jnp.where(first, last_csum - (csum - scnt), 0)
-    back = jax.lax.sort((s_row, s_j, totals), num_keys=2)
-    return back[2]  # (S2,) arena-slot-order totals
+    back = jax.lax.sort((s_hi, s_lo, totals), num_keys=2)
+    return back[2]  # (S2,) final-arena-order totals, dense
 
 
 @partial(jax.jit, static_argnames=("wp",), donate_argnums=(0, 1, 2))
@@ -652,7 +706,7 @@ def _bucket_sort_tail(bucket, meta, nucs, f, wp: int):
     INVALID tombstones past the live tail (they are dropped by the
     caller's n_rows update). The finalized prefix [0, f) is untouched —
     its rows must keep their order because data[t] aligns with dense
-    slot t of the prefix expansion (see _base_counts)."""
+    slot t of the prefix expansion (see _expand_dense_prefix)."""
     nw = nucs.shape[0]
     b_t = jax.lax.dynamic_slice(bucket, (f,), (wp,))
     m_t = jax.lax.dynamic_slice(meta, (f,), (wp,))
@@ -713,9 +767,9 @@ def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
     N = F + int(n_live_t)
     state = state._replace(bucket=bucket, meta=meta, nucs=nucs,
                            n_rows=jnp.int32(N))
-    keys, srow, sj, counts, n_slots, total_ub = expand_device(
+    keys, tag_hi, tag_lo, counts, n_slots, total_ub = expand_device(
         state, k, m, b)
-    arena_counts = _consolidate_dense(keys, srow, sj, counts)
+    arena_counts = _consolidate_dense(keys, tag_hi, tag_lo, counts)
     offs, total_k = _offs_total(state.bucket, state.meta, state.n_rows)
     tk = int(total_k)
     kcap = 1 << max(14, (max(tk, 1) - 1).bit_length())
@@ -739,7 +793,8 @@ def expanded_state(state: SklState, k: int, m: int, b: int):
     duration of a query batch, not resident index state (the resident
     index is the arena itself — ~(8+4*nw)/avg_size + 4 bytes per
     k-mer)."""
-    keys, srow, sj, counts, n_slots, total_k = expand_device(state, k, m, b)
+    keys, tag_hi, tag_lo, counts, n_slots, total_k = expand_device(
+        state, k, m, b)
     st = store.IndexState(keys=keys, data=counts,
                           n_sorted=jnp.int32(0),
                           n_used=n_slots)
@@ -818,6 +873,86 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
         found |= eq.any(axis=1)
         counts += (eq * cnt[None, :].astype(np.uint64)).sum(axis=1)
     return found, counts.astype(np.uint32)
+
+
+@jax.jit
+def _query_join_partials(ikeys, icnt, qkeys, qlive):
+    """Sum of index counts over a batch of query slots via ONE
+    sort-merge join (the binary-search lookup was a 27-step gather per
+    batch — pathological on TPU). Sort puts every index slot (tag 0)
+    before the query slots (tag 1) of the same key; a segmented cumsum
+    of index counts then hands each query slot its key's total (the
+    consolidation invariant makes per-key index sums exact even with
+    zero-count duplicate slots). Returns (256,) u32 partial sums of
+    (count mod 256) per query emission — host sums them as python ints
+    (a single u32/f32 accumulator would overflow/lose precision at
+    ~50M x 255)."""
+    W = ikeys.shape[0]
+    Si = ikeys.shape[1]
+    Sq = qkeys.shape[1]
+    S = Si + Sq
+    keys = tuple(jnp.concatenate([ikeys[i], qkeys[i]]) for i in range(W))
+    tag = jnp.concatenate([jnp.zeros(Si, U32), jnp.ones(Sq, U32)])
+    cnt = jnp.concatenate([icnt, jnp.zeros(Sq, U32)])
+    livq = jnp.concatenate([jnp.zeros(Si, U32), qlive.astype(U32)])
+    out = jax.lax.sort(keys + (tag, cnt, livq), num_keys=W + 1)
+    s_tag, s_cnt, s_liv = out[W], out[W + 1], out[W + 2]
+    first = jnp.zeros(S, dtype=bool).at[0].set(True)
+    neq = jnp.zeros(S, dtype=bool)
+    for i in range(W):
+        neq = neq | (out[i] != jnp.roll(out[i], 1))
+    first = first | neq
+    contrib = jnp.where(s_tag == 0, s_cnt, 0)
+    c = jnp.cumsum(contrib, dtype=jnp.uint32)
+    # csum at each run's start, propagated forward (csum is monotone,
+    # so a cummax of run-start snapshots is exactly the forward fill)
+    base = jax.lax.cummax(jnp.where(first, c - contrib, 0))
+    filled = c - base
+    vals = jnp.where((s_tag == 1) & (s_liv == 1), filled % U32(256), 0)
+    # two-level sum: (256, S/256) row sums stay under 2^32
+    Xp = 256
+    pad = (-S) % Xp
+    vals = jnp.pad(vals, (0, pad)).reshape(Xp, -1)
+    return jnp.sum(vals, axis=1, dtype=jnp.uint32)
+
+
+def query_join_total(state: SklState, qstate_box: list,
+                     k: int, m: int, b: int) -> int:
+    """Total stored count over every k-mer emission of a QUERY arena
+    (un-finalized: each emission is one cnt=1 slot) against a FINALIZED
+    index arena. Both sides expand device-resident; the join is chunked
+    over the query slots to bound peak HBM (16 GB on a v5e chip: index
+    arena + both expansions + one join chunk's sort workspace).
+
+    qstate_box: single-element list holding the query SklState — the
+    callee takes OWNERSHIP (pops and frees the ~1 GB row arena right
+    after its expansion; a plain argument would stay pinned by the
+    caller's frame)."""
+    qstate = qstate_box.pop()
+    qk, qhi, qlo, qcnt, _, _ = expand_device(qstate, k, m, b)
+    del qhi, qlo, qstate
+    ik, ihi, ilo, icnt, _, _ = expand_device(state, k, m, b)
+    del ihi, ilo
+    # live index slots are the dense prefix [0, n_fin_kmers): slice off
+    # the INVALID padding so every join chunk sorts less
+    Si = _shape_family(int(state.n_fin_kmers))
+    if Si < ik.shape[1]:
+        ik = ik[:, :Si]
+        icnt = icnt[:Si]
+    Sq = qk.shape[1]
+    CQ = min(Sq, 1 << 25)
+    total = 0
+    for start in range(0, Sq, CQ):
+        qc = qk[:, start:start + CQ]
+        ql = qcnt[start:start + CQ]
+        pad = CQ - qc.shape[1]
+        if pad:  # keep one compiled shape per (Si, CQ)
+            qc = jnp.pad(qc, ((0, 0), (0, pad)),
+                         constant_values=np.uint32(0xFFFFFFFF))
+            ql = jnp.pad(ql, (0, pad))
+        part = _query_join_partials(ik, icnt, qc, ql)
+        total += int(np.asarray(part, dtype=np.uint64).sum())
+    return total
 
 
 @partial(jax.jit, static_argnames=("k", "m", "b"))

@@ -64,8 +64,20 @@ class ShardedBrisk:
         wu = windows.default_warmup(params.k, params.m)
         self.window = max(window, -(-(wu + 48) // 16) * 16)
         self.stack = stack
-        # default: every emission of a step fits even if one shard owns all
-        self.route_cap = route_cap or batch_per_shard * window
+        # route_cap sizing (VERDICT r3 item 4): the r3 default covered
+        # the all-to-one worst case (batch_per_shard * window), moving an
+        # n_shards-times oversized all_to_all buffer every flush whether
+        # skew existed or not. Destinations are hashed minimizer buckets,
+        # so per-step per-destination traffic is multinomial around
+        # mean = B_local*window/n_shards with std ~ sqrt(mean); 4x mean
+        # clears any multinomial p99 by orders of magnitude, and the rare
+        # genuinely-skewed flush (poly-A runs -> one hot bucket) SPILLS
+        # to the source shard, which is exact by construction
+        # (tests/test_facade.py::test_facade_skewed_input_spills_without
+        # _loss; measured CPU-mesh step overhead n8/n1 = 1.66x at this
+        # sizing, scripts/sharded_overhead.py).
+        self.route_cap = route_cap or max(
+            64, 4 * batch_per_shard * self.window // self.n_shards)
         self.W = store.key_words(params.k, params.b)
         # multi-host: host-major lane blocks — each process packs ONLY its
         # own records into its own devices' lanes (VERDICT r2 item 3);
@@ -106,7 +118,11 @@ class ShardedBrisk:
         if keep_superkmers:
             from brisk_tpu.index import sklstore
             self.skl_row_cap = max(16, self.window // 4)
-            self.skl_route_cap = batch_per_shard * self.skl_row_cap
+            # same multinomial sizing as route_cap (skl rows route by the
+            # same hashed bucket; spill-to-source covers the tail)
+            self.skl_route_cap = max(
+                16, 4 * batch_per_shard * self.skl_row_cap
+                // self.n_shards)
             _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
             self._skl_nw = nw
             per_flush = stack * (self.n_shards * self.skl_route_cap
