@@ -122,7 +122,7 @@ def e2e_bench():
     from brisk_tpu.params import Parameters
     path = synth_path(50_000_000, "50mb")
     br = Brisk(Parameters(k=31, m=11, b=8), batch=2048, window=512,
-               capacity=1 << 26, stack=8)
+               stack=8)
     t_cold0 = time.time()
     br.warmup(os.path.getsize(path))
     t0 = time.time()

@@ -24,13 +24,17 @@ holds nothing but SKL records + nucleotide/DATA arenas
 (buckets.hpp:19-58, SuperKmerLight.hpp:18-122). Inserts append rows to
 the arena; `finalize()` (run lazily before any read) consolidates
 duplicate k-mer counts; lookups are served from the finalized arena
-(scalar gets probe one bucket's row slice; batch queries build a
-TRANSIENT expanded per-k-mer view). Resident cost is
+(scalar gets probe one bucket's row slice; batch queries run a
+sort-merge join against a TRANSIENT expansion). Resident cost is
 ~(8+4*nw)/avg_skl_size + 4 bytes per k-mer instead of round 2's 16
 (packed per-k-mer keys) or 23 (both).
 
-`keep_superkmers=False` selects the legacy packed per-k-mer backend
-(16 B/kmer; no super-k-mer grouping, no KFF super-k-mer blocks).
+The round-1/2 packed per-k-mer backend (keep_superkmers=False) was
+REMOVED in round 4 (VERDICT r3 item 7): it duplicated every layer's
+insert/repair/query/save logic for a 16 B/kmer store nothing shipped.
+Tests now take their key-level ground truth from the pure-Python oracle
+(tests/oracle_keys.py); the packed IndexState itself lives on as the
+facade's sharded serving structure and the transient expansion format.
 """
 
 import os
@@ -63,31 +67,26 @@ class Brisk:
     streaming BatchPacker path is used (one record per lane)."""
 
     def __init__(self, params: Parameters, batch: int = 512,
-                 window: int = 512, capacity: int = 1 << 16,
-                 stack: int = 8, keep_superkmers: bool = True):
+                 window: int = 512, stack: int = 8):
         import brisk_tpu
         brisk_tpu.enable_persistent_cache()  # TPU-only; no-op on CPU
         self.params = params
         self.batch = batch
         # the warm-up replay must leave room for useful emissions; large
-        # (k - m) configs (e.g. k=63, m=21: warmup 86) bump small windows
+        # (k - m) configs (e.g. k=63, m=21: warmup 88) bump small windows
         wu = windows.default_warmup(params.k, params.m)
         self.window = max(window, -(-(wu + 48) // 16) * 16)
         self.stack = stack
-        self._carry = enum_ops.zero_carry(batch)
         self.n_emitted = 0
         self.n_superkmers = 0
         self.n_repaired_windows = 0
         self.n_repair_batches = 0  # device calls spent on repairs
         self.n_degraded_windows = 0  # should-not-happen fallbacks taken
-        self.keep_superkmers = keep_superkmers
         # rows kept per lane in the fused skl segmentation; lanes with
         # more super-k-mers are re-run at full width (rare: avg size is
         # ~6-12 kmers, overflow needs avg < 4)
         self.skl_row_cap = max(16, window // 4)
         self.n_skl_overflows = 0
-        self.skl = None
-        self.state = None
         self._dirty = False          # raw rows appended since finalize
         self._expanded = None        # cached transient per-kmer view
         self._skl_segments = []      # bucket-grouped row ranges, 1/finalize
@@ -95,54 +94,12 @@ class Brisk:
         self._pending = []           # in-flight flush records
         self._count_acc = []         # deferred (n_sk, n_km) device scalars
         self._rows_ub = 0            # upper bound on skl.n_rows
-        if keep_superkmers:
-            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
-            flush_rows = stack * batch * self.skl_row_cap
-            rcap = 1 << max(14, (2 * flush_rows - 1).bit_length())
-            self.skl = sklstore.empty(rcap, 1 << 14, nw)
-        else:
-            self.state = store.empty(capacity,
-                                     store.key_words(params.k, params.b))
+        _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
+        flush_rows = stack * batch * self.skl_row_cap
+        rcap = 1 << max(14, (2 * flush_rows - 1).bit_length())
+        self.skl = sklstore.empty(rcap, 1 << 14, nw)
 
     # -- insertion ---------------------------------------------------------
-
-    def _insert_batches(self, batches) -> None:
-        """Streaming one-record-per-lane path (k > 32 fallback)."""
-        p = self.params
-        for bt in batches:
-            em, self._carry = enum_ops.enumerate_batch(
-                jnp.asarray(bt.codes, dtype=jnp.uint32),
-                jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
-                self._carry, k=p.k, m=p.m, b=p.b)
-            self.n_emitted += bt.n_kmers
-            self.n_superkmers += int(jnp.sum(em.boundary & em.valid)) + int(
-                np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
-            if self.keep_superkmers:
-                # super-k-mers split at batch seams (separate rows with
-                # identical k-mer content; counts unaffected)
-                L_out = em.valid.shape[1]
-                margin = p.k - 1
-                pos = jnp.arange(margin, margin + L_out,
-                                 dtype=jnp.uint32)[None, :]
-                first_valid = jnp.broadcast_to(pos == jnp.uint32(margin),
-                                               em.valid.shape)
-                self._append_skl_from_emissions(em, em.valid, first_valid,
-                                                L_out)
-            else:
-                rows = store.make_keys(em.bucket.reshape(-1),
-                                       em.key.reshape(4, -1),
-                                       em.mini_idx.reshape(-1), p.k, p.b)
-                valid = em.valid.reshape(-1)
-                raw = rows.shape[1]
-                cap = self.state.keys.shape[1]
-                if int(self.state.n_used) + raw > cap:
-                    self.state = store.compact_auto(self.state, full=False)
-                    if int(self.state.n_used) + raw > cap:
-                        self.state = store.compact_auto(self.state)
-                self.state = store.ensure_room(self.state, raw)
-                self.state = store.append(
-                    self.state, rows,
-                    jnp.ones(raw, dtype=jnp.uint32), valid)
 
     def _records(self, path: str):
         """Record stream (uint8 code arrays or ACGT strings), preferring
@@ -160,8 +117,6 @@ class Brisk:
         (~10 s measured for the fused insert program). Estimate: at most
         one row per 3 k-mers (pathological inputs repair through
         _repair_skl_overflow anyway), plus in-flight flush slack."""
-        if self.skl is None:
-            return
         flush_rows = self.stack * self.batch * self.skl_row_cap
         est = n_bases_estimate // 3 + (_INFLIGHT_DEPTH + 1) * flush_rows
         self.skl = sklstore.ensure_room(self.skl, max(0, est
@@ -174,8 +129,8 @@ class Brisk:
         presized to the same shape insert_file will use. Runs one empty
         window stack; no rows or counts result from it."""
         p = self.params
-        if p.k > 32 or not self.keep_superkmers:
-            return
+        if p.k > 32:
+            return  # k > 32 uses wider arenas; first flush compiles
         if n_bases_estimate:
             self._presize_for(n_bases_estimate)
         packer = windows.WindowPacker(p.k, p.m, self.batch,
@@ -188,6 +143,21 @@ class Brisk:
             row_cap=self.skl_row_cap, l_buf=packer.l_buf)
         self.skl = out[0]
         jax.block_until_ready(out[6])
+        if n_bases_estimate and int(self.skl.n_rows) == 0:
+            # Pre-load the FINALIZE executables too: on the tunneled
+            # runtime every program pays a multi-second per-process
+            # executable build/load keyed by its shape family; a dummy
+            # finalize at the row count the input predicts (~1 row per 6
+            # bases at SKL_SIZE_CAP=8) moves that cost off the serving
+            # path. The dummy DONATES the (empty) arena buffers, so the
+            # arena is recreated afterwards.
+            rcap = self.skl.bucket.shape[0]
+            kcap = self.skl.data.shape[0]
+            nw = self.skl.nucs.shape[0]
+            est_rows = min(max(1024, n_bases_estimate // 6), rcap // 2)
+            fake = self.skl._replace(n_rows=jnp.int32(est_rows))
+            sklstore.finalize_device(fake, p.k, p.m, p.b)
+            self.skl = sklstore.empty(rcap, kcap, nw)
 
     def insert_file(self, path: str) -> None:
         """Sequence-parallel windowed insertion for every k (the k > 32
@@ -197,87 +167,98 @@ class Brisk:
         except OSError:
             pass
         self._insert_windowed(self._records(path))
-        if not self.keep_superkmers:
-            self.state = store.compact_auto(self.state, full=False)
 
     def insert_sequence(self, seq: str) -> None:
         """Counts every k-mer of one sequence (the declared-but-never-
         defined Brisk::insert_sequence, Brisk.hpp:27 — implemented here)."""
         self._insert_windowed(iter([seq]))
-        if not self.keep_superkmers:
-            self.state = store.compact_auto(self.state, full=False)
 
     # -- fused sequence-parallel insertion (k <= 32) -------------------------
 
     def _insert_windowed(self, records) -> None:
+        """Producer thread packs windows and STAGES them on-device
+        (np.stack + the ~13 MB/s tunnel H2D) while the main thread
+        dispatches device programs and retires completed flushes — the
+        serial pack->transfer->dispatch loop left ~1 s/50 Mb of the
+        pipeline idle."""
+        import queue
+        import threading
         p = self.params
         packer = windows.WindowPacker(p.k, p.m, self.batch,
                                       l_out=self.window)
         self._packer = packer
         self._prev_tail = None  # (rec, win, end7) of last lane of prev stack
         self._chain = pipeline.zero_chain()
-        S = self.stack
-        pending = []
-        for bt in packer.pack(records):
-            pending.append(bt)
-            if len(pending) == S:
-                self._dispatch_flush(packer, pending)
+        S, B = self.stack, self.batch
+        q = queue.Queue(maxsize=2)
+        err = []
+
+        def stage(batches):
+            codes4 = np.stack([bt.codes4 for bt in batches])
+            vs = np.stack([bt.valid_start for bt in batches])
+            ve = np.stack([bt.valid_end for bt in batches])
+            return (batches, jnp.asarray(codes4), jnp.asarray(vs),
+                    jnp.asarray(ve))
+
+        def producer():
+            try:
                 pending = []
-        if pending:
-            B = self.batch
-            while len(pending) < S:  # pad to the compiled stack shape
-                pending.append(windows.WinBatch(
-                    np.zeros((B, packer.l_buf4), np.uint8),
-                    np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
-                    np.full(B, -1, np.int64), np.zeros(B, np.int32),
-                    packer.l_buf))
-            self._dispatch_flush(packer, pending)
+                for bt in packer.pack(records):
+                    pending.append(bt)
+                    if len(pending) == S:
+                        q.put(stage(pending))
+                        pending = []
+                if pending:
+                    while len(pending) < S:  # pad to the compiled shape
+                        pending.append(windows.WinBatch(
+                            np.zeros((B, packer.l_buf4), np.uint8),
+                            np.zeros(B, np.int32), np.zeros(B, np.int32),
+                            0, 0, np.full(B, -1, np.int64),
+                            np.zeros(B, np.int32), packer.l_buf))
+                    q.put(stage(pending))
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            self._dispatch_flush(packer, *item)
+        t.join()
+        if err:
+            raise err[0]
         self._drain()
 
-    def _dispatch_flush(self, packer, batches) -> None:
-        """Launch one window stack on the device; bookkeeping (counters,
-        certificate repairs, overflow re-runs) is deferred to _retire so
-        host packing overlaps device compute (VERDICT r2 item 1)."""
+    def _dispatch_flush(self, packer, batches, codes4_d, vs_d, ve_d
+                        ) -> None:
+        """Launch one PRE-STAGED window stack on the device; bookkeeping
+        (counters, certificate repairs, overflow re-runs) is deferred to
+        _retire so host packing overlaps device compute (VERDICT r2
+        item 1). codes4_d/vs_d/ve_d are already device-resident (the
+        producer thread staged them)."""
         p = self.params
         S, B = len(batches), self.batch
-        vs = np.stack([bt.valid_start for bt in batches])
-        ve = np.stack([bt.valid_end for bt in batches])
-        if self.keep_superkmers:
-            codes4 = np.stack([bt.codes4 for bt in batches])
-            flush_rows = S * B * self.skl_row_cap
-            if self._rows_ub + flush_rows > self.skl.bucket.shape[0]:
-                self._drain()  # exact n_rows; grow only if truly needed
-                self.skl = sklstore.ensure_room(self.skl, flush_rows)
-            (self.skl, n_sk, n_km, cert, ends, ovf,
-             n_rows_after, self._chain) = pipeline.insert_windows_sklnative(
-                self.skl, jnp.asarray(codes4), jnp.asarray(vs),
-                jnp.asarray(ve), self._chain, k=p.k, m=p.m, b=p.b,
-                row_cap=self.skl_row_cap, l_buf=packer.l_buf)
-            self._rows_ub += flush_rows
-            self._dirty = True
-            self._expanded = None
-        else:
-            codes = np.stack([bt.codes for bt in batches])
-            raw = S * B * packer.l_out
-            cap = self.state.keys.shape[1]
-            if int(self.state.n_used) + raw > cap:
-                self.state = store.compact_auto(self.state, full=False)
-                if int(self.state.n_used) + raw > cap:
-                    self.state = store.compact_auto(self.state)
-            self.state = store.ensure_room(self.state, raw)
-            (self.state, n_sk, n_km, cert, ends,
-             self._chain) = pipeline.insert_windows(
-                self.state, jnp.asarray(codes), jnp.asarray(vs),
-                jnp.asarray(ve), self._chain, k=p.k, m=p.m, b=p.b)
-            ovf = None
+        flush_rows = S * B * self.skl_row_cap
+        if self._rows_ub + flush_rows > self.skl.bucket.shape[0]:
+            self._drain()  # exact n_rows; grow only if truly needed
+            self.skl = sklstore.ensure_room(self.skl, flush_rows)
+        (self.skl, n_sk, n_km, cert, ends, ovf,
+         n_rows_after, self._chain) = pipeline.insert_windows_sklnative(
+            self.skl, codes4_d, vs_d, ve_d, self._chain,
+            k=p.k, m=p.m, b=p.b,
+            row_cap=self.skl_row_cap, l_buf=packer.l_buf)
+        self._rows_ub += flush_rows
+        self._dirty = True
+        self._expanded = None
         # pack cert+ovf into ONE small device array: retire then pays a
         # single ~16 KB transfer instead of several round-trips on the
         # high-latency tunnel link
-        flags = cert.astype(jnp.uint8)
-        if ovf is not None:
-            flags = flags | (ovf.astype(jnp.uint8) << 1)
+        flags = cert.astype(jnp.uint8) | (ovf.astype(jnp.uint8) << 1)
         self._pending.append(dict(batches=batches, flags=flags, ends=ends,
-                                  has_ovf=ovf is not None,
                                   n_sk=n_sk, n_km=n_km, packer=packer))
         if len(self._pending) > _INFLIGHT_DEPTH:
             self._retire(self._pending.pop(0))
@@ -286,8 +267,7 @@ class Brisk:
         while self._pending:
             self._retire(self._pending.pop(0))
         self._settle_counts()
-        if self.keep_superkmers and self.skl is not None:
-            self._rows_ub = int(self.skl.n_rows)
+        self._rows_ub = int(self.skl.n_rows)
 
     def _settle_counts(self) -> None:
         """Fold the deferred per-flush device counter scalars in ONE
@@ -415,7 +395,7 @@ class Brisk:
 
         # skl segmentation overflow (certified lanes with more super-k-mers
         # than the fused row budget): rebuild their skl rows at full width
-        if rec["has_ovf"]:
+        if True:  # skl segmentation overflow lanes
             ovf_f = (flags >> 1).astype(bool)
             for j in np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]:
                 s, lane = divmod(int(j), B)
@@ -476,23 +456,11 @@ class Brisk:
         self.n_emitted += int(jnp.sum(valid))
         self.n_superkmers += int(jnp.sum(em.boundary & valid))
         margin = p.k - 1
-        if self.keep_superkmers:
-            L_out = em.valid.shape[1]
-            pos = jnp.arange(margin, margin + L_out,
-                             dtype=jnp.uint32)[None, :]
-            first_valid = pos == vs1[:, None].astype(jnp.uint32)
-            self._append_skl_from_emissions(em, valid, first_valid, L_out)
-        else:
-            rows = store.make_keys(em.bucket.reshape(-1),
-                                   em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1), p.k, p.b)
-            raw = rows.shape[1]
-            if int(self.state.n_used) + raw > self.state.keys.shape[1]:
-                self.state = store.compact_auto(self.state)
-            self.state = store.ensure_room(self.state, raw)
-            self.state = store.append(self.state, rows,
-                                      jnp.ones(raw, dtype=jnp.uint32),
-                                      valid.reshape(-1))
+        L_out = em.valid.shape[1]
+        pos = jnp.arange(margin, margin + L_out,
+                         dtype=jnp.uint32)[None, :]
+        first_valid = pos == vs1[:, None].astype(jnp.uint32)
+        self._append_skl_from_emissions(em, valid, first_valid, L_out)
         return self._end_states(em, np.asarray([int(ve1[0])]), [0])[0]
 
     def _end_states(self, em, ve, lanes):
@@ -586,24 +554,12 @@ class Brisk:
         self.n_emitted += int(jnp.sum(valid))
         self.n_superkmers += int(jnp.sum(em.boundary & valid))
         margin = p.k - 1
-        if self.keep_superkmers:
-            L_out = em.valid.shape[1]
-            pos = jnp.arange(margin, margin + L_out,
-                             dtype=jnp.uint32)[None, :]
-            first_valid = jnp.broadcast_to(pos == jnp.uint32(margin),
-                                           em.valid.shape)
-            self._append_skl_from_emissions(em, valid, first_valid, L_out)
-        else:
-            rows = store.make_keys(em.bucket.reshape(-1),
-                                   em.key.reshape(4, -1),
-                                   em.mini_idx.reshape(-1), p.k, p.b)
-            raw = rows.shape[1]
-            if int(self.state.n_used) + raw > self.state.keys.shape[1]:
-                self.state = store.compact_auto(self.state)
-            self.state = store.ensure_room(self.state, raw)
-            self.state = store.append(self.state, rows,
-                                      jnp.ones(raw, dtype=jnp.uint32),
-                                      valid.reshape(-1))
+        L_out = em.valid.shape[1]
+        pos = jnp.arange(margin, margin + L_out,
+                         dtype=jnp.uint32)[None, :]
+        first_valid = jnp.broadcast_to(pos == jnp.uint32(margin),
+                                       em.valid.shape)
+        self._append_skl_from_emissions(em, valid, first_valid, L_out)
         # each run's exact end state at ITS OWN ve (_end_states); note
         # the repair buffer has no warm-up margin offset beyond `margin`
         return self._end_states(em, ve, list(range(R)))
@@ -617,8 +573,6 @@ class Brisk:
         lazily before any read; after it, stats() reports the resident
         super-k-mer memory footprint and KFF export writes whole
         super-k-mer blocks."""
-        if self.skl is None:
-            return
         self._drain()
         p = self.params
         f_before = int(self.skl.n_fin_rows)
@@ -647,14 +601,6 @@ class Brisk:
             self._expanded = sklstore.expanded_state(self.skl, p.k, p.m,
                                                      p.b)
         return self._expanded
-
-    def _query_state(self) -> store.IndexState:
-        """IndexState every lookup path runs against: the packed store in
-        legacy mode, the transient expanded arena view otherwise."""
-        if self.keep_superkmers:
-            return self._expanded_view()
-        self.state = store.compact_auto(self.state, full=False)
-        return self.state
 
     # -- lookup ------------------------------------------------------------
 
@@ -691,18 +637,14 @@ class Brisk:
         bucket = pyref.bucket_id(slice_hash, p)
         cols = store.pack_key_np(bucket, key, km.minimizer_idx,
                                  p.k, p.b)[:, None]
-        if self.keep_superkmers:
-            self._ensure_final()
-            if self._bucket_col is None:  # one transfer, reused per get
-                n_fin = int(self.skl.n_fin_rows)
-                self._bucket_col = np.asarray(self.skl.bucket[:n_fin])
-            found, vals = sklstore.probe(self.skl, cols, bucket,
-                                         p.k, p.m, p.b,
-                                         segments=self._skl_segments,
-                                         bucket_col=self._bucket_col)
-        else:
-            found, vals = store.lookup(self._query_state(),
-                                       jnp.asarray(cols))
+        self._ensure_final()
+        if self._bucket_col is None:  # one transfer, reused per get
+            self._bucket_col = sklstore.fetch_rows(
+                self.skl.bucket, 0, int(self.skl.n_fin_rows))
+        found, vals = sklstore.probe(self.skl, cols, bucket,
+                                     p.k, p.m, p.b,
+                                     segments=self._skl_segments,
+                                     bucket_col=self._bucket_col)
         if bool(found[0]):
             return int(vals[0]) % 256
         return None
@@ -719,24 +661,6 @@ class Brisk:
         a 27-step gather per batch: pathological on TPU and ~2x slower
         than this join at 50 Mb."""
         p = self.params
-        if not self.keep_superkmers:
-            qstate = self._query_state()
-            total = 0
-            carry = enum_ops.zero_carry(self.batch)
-            for bt in fasta.fasta_batches(path, p.k, self.batch,
-                                          self.window):
-                em, carry = enum_ops.enumerate_batch(
-                    jnp.asarray(bt.codes, dtype=jnp.uint32),
-                    jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end),
-                    carry, k=p.k, m=p.m, b=p.b)
-                rows = store.make_keys(em.bucket.reshape(-1),
-                                       em.key.reshape(4, -1),
-                                       em.mini_idx.reshape(-1), p.k, p.b)
-                found, vals = store.lookup(qstate, rows)
-                total += int(jnp.sum(
-                    jnp.where(found & em.valid.reshape(-1), vals % 256,
-                              0)))
-            return total
         self._ensure_final()
         qbr = Brisk(p, batch=self.batch, window=self.window,
                     stack=self.stack)
@@ -753,7 +677,8 @@ class Brisk:
         (Brisk.hpp:166-172) as an iterator. Entries with the same k-mer
         value under different minimizer keys appear separately, exactly as
         the reference's cursor visits them."""
-        kmers, counts, _ = readout.entries(self._query_state(), self.params)
+        kmers, counts, _ = readout.entries(self._expanded_view(),
+                                           self.params)
         for kv, c in zip(kmers, counts):
             yield int(kv), int(c) % 256
 
@@ -766,53 +691,35 @@ class Brisk:
     # -- maintenance -------------------------------------------------------
 
     def stats(self) -> dict:
-        p = self.params
-        if self.keep_superkmers:
-            self._ensure_final()
-            n_rows = int(self.skl.n_rows)
-            nk = int(self.skl.n_fin_kmers)
-            data = np.asarray(self.skl.data)[:nk]
-            n_live = int(np.count_nonzero(data))
-            buckets = np.asarray(self.skl.bucket)[:n_rows]
-            sizes = np.asarray(self.skl.meta)[:n_rows] & 0xFF
-            if n_rows:
-                nb_buckets = int(len(np.unique(buckets)))
-                per_bucket = np.bincount(buckets, weights=sizes)
-                largest = int(per_bucket.max())
-            else:
-                nb_buckets = largest = 0
-            nw = self.skl.nucs.shape[0]
-            resident = n_rows * (12 + 4 * nw) + nk * 4
-            return dict(nb_buckets=nb_buckets, nb_kmers=n_live,
-                        nb_superkmers=self.n_superkmers,
-                        nb_emitted=self.n_emitted,
-                        nb_superkmer_rows=n_rows,
-                        largest_bucket_entries=largest,
-                        index_bytes=resident,
-                        bytes_per_kmer=(resident / n_live) if n_live
-                        else 0.0)
-        n = int(self.state.n_sorted)
-        counts = np.asarray(self.state.data)[:n]
-        live = counts != 0  # compact_fast leaves zero-data tombstones
-        n_live = int(np.count_nonzero(live))
-        if n_live:
-            keys = np.asarray(self.state.keys)[:, :n][:, live]
-            buckets, _, _, _ = store.unpack_keys_np(keys, p.k, p.b)
+        self._ensure_final()
+        n_rows = int(self.skl.n_rows)
+        nk = int(self.skl.n_fin_kmers)
+        # device-side count (a host transfer of data would move ~200 MB
+        # over the ~13 MB/s tunnel); bucket/meta columns via
+        # family-shaped fetches (exact-shape slices compile+load a
+        # fresh executable per n_rows value)
+        n_live = int(sklstore._count_nonzero_prefix(self.skl.data,
+                                                    jnp.int32(nk)))
+        buckets = sklstore.fetch_rows(self.skl.bucket, 0, n_rows)
+        sizes = sklstore.fetch_rows(self.skl.meta, 0, n_rows) & 0xFF
+        if n_rows:
             nb_buckets = int(len(np.unique(buckets)))
-            largest = int(np.bincount(buckets).max())
+            per_bucket = np.bincount(buckets, weights=sizes)
+            largest = int(per_bucket.max())
         else:
             nb_buckets = largest = 0
-        key_bytes = self.state.keys.nbytes + self.state.data.nbytes
+        nw = self.skl.nucs.shape[0]
+        resident = n_rows * (12 + 4 * nw) + nk * 4
         return dict(nb_buckets=nb_buckets, nb_kmers=n_live,
                     nb_superkmers=self.n_superkmers,
                     nb_emitted=self.n_emitted,
+                    nb_superkmer_rows=n_rows,
                     largest_bucket_entries=largest,
-                    index_bytes=key_bytes,
-                    bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
+                    index_bytes=resident,
+                    bytes_per_kmer=(resident / n_live) if n_live
+                    else 0.0)
 
-    def skl_stats(self) -> Optional[dict]:
-        if self.skl is None:
-            return None
+    def skl_stats(self) -> dict:
         self._ensure_final()
         return sklstore.stats(self.skl)
 
@@ -830,47 +737,36 @@ class Brisk:
         from brisk_tpu.index import rekey
         new_params = Parameters(k=self.params.k, m=self.params.m + 2,
                                 b=min(self.params.b + 2, 15))
-        if self.keep_superkmers:
-            old = self._expanded_view()
-            new_state = rekey.reindex(old, self.params, new_params)
-            # super-k-mer grouping is invalid under the new (m, b); rebuild
-            # one size-1 row per entry (the reference's reallocate, walking
-            # its cursor in bucket order, likewise loses genome adjacency)
-            self.skl = sklstore.from_entries(new_state, new_params.k,
-                                             new_params.m, new_params.b)
-            self._expanded = None
-            self._rows_ub = int(self.skl.n_rows)
-            # from_entries emits rows in packed-key order = bucket-major
-            self._skl_segments = [(0, int(self.skl.n_fin_rows))]
-            self._bucket_col = None
-        else:
-            self.state = rekey.reindex(self.state, self.params, new_params)
+        old = self._expanded_view()
+        new_state = rekey.reindex(old, self.params, new_params)
+        # super-k-mer grouping is invalid under the new (m, b); rebuild
+        # one size-1 row per entry (the reference's reallocate, walking
+        # its cursor in bucket order, likewise loses genome adjacency)
+        self.skl = sklstore.from_entries(new_state, new_params.k,
+                                         new_params.m, new_params.b)
+        self._expanded = None
+        self._rows_ub = int(self.skl.n_rows)
+        # from_entries emits rows in packed-key order = bucket-major
+        self._skl_segments = [(0, int(self.skl.n_fin_rows))]
+        self._bucket_col = None
         self.params = new_params
 
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
         """Native checkpoint: the exact array state + params."""
-        extra = {}
-        if self.keep_superkmers:
-            self._ensure_final()
-            extra = dict(
-                skl_bucket=np.asarray(self.skl.bucket),
-                skl_meta=np.asarray(self.skl.meta),
-                skl_nucs=np.asarray(self.skl.nucs),
-                skl_data=np.asarray(self.skl.data),
-                skl_offs=np.asarray(self.skl.offs),
-                skl_n=np.array([int(self.skl.n_rows),
-                                int(self.skl.n_fin_rows),
-                                int(self.skl.n_fin_kmers)]),
-                skl_segments=np.asarray(self._skl_segments,
-                                        dtype=np.int64).reshape(-1, 2))
-        else:
-            self.state = store.compact_auto(self.state, full=False)
-            extra = dict(keys=np.asarray(self.state.keys),
-                         data=np.asarray(self.state.data),
-                         n_sorted=int(self.state.n_sorted),
-                         n_used=int(self.state.n_used))
+        self._ensure_final()
+        extra = dict(
+            skl_bucket=np.asarray(self.skl.bucket),
+            skl_meta=np.asarray(self.skl.meta),
+            skl_nucs=np.asarray(self.skl.nucs),
+            skl_data=np.asarray(self.skl.data),
+            skl_offs=np.asarray(self.skl.offs),
+            skl_n=np.array([int(self.skl.n_rows),
+                            int(self.skl.n_fin_rows),
+                            int(self.skl.n_fin_kmers)]),
+            skl_segments=np.asarray(self._skl_segments,
+                                    dtype=np.int64).reshape(-1, 2))
         np.savez_compressed(
             path,
             k=self.params.k, m=self.params.m, b=self.params.b,
@@ -882,37 +778,31 @@ class Brisk:
              ) -> "Brisk":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         params = Parameters(k=int(z["k"]), m=int(z["m"]), b=int(z["b"]))
-        has_skl = "skl_bucket" in z
-        self = cls(params, batch=batch, window=window,
-                   capacity=(z["keys"].shape[1] if not has_skl else 1 << 10),
-                   keep_superkmers=has_skl)
-        if has_skl:
-            _, _, _, nw_now = sklstore.skl_dims(params.k, params.m,
-                                                params.b)
-            if z["skl_nucs"].shape[0] != nw_now:
-                raise ValueError(
-                    "checkpoint row format mismatch (different "
-                    "SKL_SIZE_CAP build); re-export via KFF")
-            nr, nfr, nfk = (int(x) for x in z["skl_n"])
-            self.skl = sklstore.SklState(
-                bucket=jnp.asarray(z["skl_bucket"]),
-                meta=jnp.asarray(z["skl_meta"]),
-                nucs=jnp.asarray(z["skl_nucs"]),
-                data=jnp.asarray(z["skl_data"]),
-                offs=jnp.asarray(z["skl_offs"]),
-                n_rows=jnp.int32(nr), n_fin_rows=jnp.int32(nfr),
-                n_fin_kmers=jnp.int32(nfk))
-            self._rows_ub = nr
-            if "skl_segments" in z:
-                self._skl_segments = [tuple(int(x) for x in row)
-                                      for row in z["skl_segments"]]
-            elif nfr:
-                self._skl_segments = [(0, nfr)]
-        else:
-            self.state = store.IndexState(
-                keys=jnp.asarray(z["keys"]), data=jnp.asarray(z["data"]),
-                n_sorted=jnp.int32(int(z["n_sorted"])),
-                n_used=jnp.int32(int(z["n_used"])))
+        if "skl_bucket" not in z:
+            raise ValueError("not a super-k-mer-arena checkpoint (the "
+                             "round-1/2 packed format was removed; "
+                             "re-export via KFF)")
+        self = cls(params, batch=batch, window=window)
+        _, _, _, nw_now = sklstore.skl_dims(params.k, params.m, params.b)
+        if z["skl_nucs"].shape[0] != nw_now:
+            raise ValueError(
+                "checkpoint row format mismatch (different "
+                "SKL_SIZE_CAP build); re-export via KFF")
+        nr, nfr, nfk = (int(x) for x in z["skl_n"])
+        self.skl = sklstore.SklState(
+            bucket=jnp.asarray(z["skl_bucket"]),
+            meta=jnp.asarray(z["skl_meta"]),
+            nucs=jnp.asarray(z["skl_nucs"]),
+            data=jnp.asarray(z["skl_data"]),
+            offs=jnp.asarray(z["skl_offs"]),
+            n_rows=jnp.int32(nr), n_fin_rows=jnp.int32(nfr),
+            n_fin_kmers=jnp.int32(nfk))
+        self._rows_ub = nr
+        if "skl_segments" in z:
+            self._skl_segments = [tuple(int(x) for x in row)
+                                  for row in z["skl_segments"]]
+        elif nfr:
+            self._skl_segments = [(0, nfr)]
         self.n_emitted = int(z["n_emitted"])
         self.n_superkmers = int(z["n_superkmers"])
         return self

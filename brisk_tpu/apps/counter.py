@@ -61,11 +61,7 @@ def main(argv=None):
     t0 = time.time()
     counter = Counter(params, batch=args.batch, window=args.window)
     counter.count_file(args.file)
-    if counter.skl is not None:
-        counter._drain()
-        jax.block_until_ready(counter.skl.bucket)
-    else:
-        jax.block_until_ready(counter.state.keys)
+    int(counter.skl.n_rows)  # completion barrier (data-dependent readback)
     elapsed = time.time() - t0
     print(f"Kmer counted elapsed time: {elapsed:.3f}s")
 
@@ -95,14 +91,10 @@ def main(argv=None):
 
     if args.outfile:
         from brisk_tpu.io import kff
-        if counter.skl is not None:
-            counter.finalize()
-            kff.write_index_skl(args.outfile, counter.skl, params)
-            print(f"Index written to {args.outfile} "
-                  f"(KFF, super-k-mer blocks)")
-        else:
-            kff.write_index(args.outfile, counter.state, params)
-            print(f"Index written to {args.outfile} (KFF)")
+        counter.finalize()
+        kff.write_index_skl(args.outfile, counter.skl, params)
+        print(f"Index written to {args.outfile} "
+              f"(KFF, super-k-mer blocks)")
 
     if args.mode == 1:
         # perf mode: no host readback of the index beyond what counting
@@ -125,7 +117,7 @@ def main(argv=None):
         print(f"average superkmer / bucket: "
               f"{s['nb_superkmers'] / s['nb_buckets']:.4f}")
     print(f"Largest bucket :\t{pretty_int(s['largest_bucket'])}")
-    if counter.skl is not None:
+    if True:
         counter.finalize()
         ss = counter.skl_stats()
         print(f"nb superkmer rows: {pretty_int(ss['nb_superkmer_rows'])}")

@@ -53,13 +53,16 @@ _INVALID = U32(0xFFFFFFFF)
 # Max k-mers per stored row. The enumerator's natural bound is
 # 2*(k-m)+1 (41 at k=31 m=11, 85 at k=63 m=21) but the AVERAGE is ~6;
 # rows are fixed-width, so a large s_max inflates both the nucleotide
-# words per row (9 u32 at k=63!) and the finalize expansion work
-# (s_max/avg slots processed per real k-mer). Longer runs are SPLIT into
-# several rows at build time (rows_from_emissions) — k-mer content and
-# counts are unaffected, exactly like the window-seam splits the format
-# already absorbs. 16 keeps nw at 3 words (k=31) / 4 words (k=63) and
-# cuts expansion waste ~2.6x. Power of two (the splitter masks).
-SKL_SIZE_CAP = 16
+# words per row (9 u32 at k=63!) and the finalize expansion/consolidate
+# work (s_max/avg slots processed per real k-mer). Longer runs are SPLIT
+# into several rows at build time (rows_from_emissions) — k-mer content
+# and counts are unaffected, exactly like the window-seam splits the
+# format already absorbs. 8 keeps nw at 2 words (k=31) / 4 words (k=63)
+# and bounds slot waste at ~1.3x on typical data (50 Mb: 63M expanded
+# slots for 50M k-mers vs 96M at cap 16, 330M uncapped) — the
+# consolidate sort is the finalize wall, and it scales with slots.
+# Power of two (the splitter masks).
+SKL_SIZE_CAP = 8
 
 
 def skl_dims(k: int, m: int, b: int) -> Tuple[int, int, int, int]:
@@ -536,18 +539,24 @@ def finalize_host(state: SklState, k: int, m: int, b: int,
 @partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
          donate_argnums=(0, 1, 2, 3))
 def _expand_dense_prefix(out_keys, out_hi, out_lo, out_cnt, n_slots,
-                         bucket_c, meta_c, nucs_c, data_c,
+                         bucket_c, meta_c, nucs_c, data_c, f_live,
                          k: int, m: int, b: int, s_max: int):
-    """Expand one FINALIZED-prefix row chunk to per-slot packed keys and
-    DENSE-append the live slots (live-first sort; the dead tail is
-    overwritten by the next chunk). Dense slot order == arena slot order,
-    so slot t aligns with data[t]: the base count is read off data_c by
-    position, no gather. Tags: (hi=0, lo=dense slot index t) — sorts
-    before every tail tag in the consolidate back-sort."""
+    """Expand the FINALIZED-prefix rows to per-slot packed keys and
+    DENSE-append the live slots (one live-first sort). Dense slot order
+    == arena slot order, so slot t aligns with data[t]: the base count
+    is read off data_c by position, no gather. Tags: (hi=0, lo=dense
+    slot index t) — sorts before every tail tag in the consolidate
+    back-sort. Rows at index >= f_live are fresh tail rows picked up by
+    the family-padded slice and are masked dead here (the strided pass
+    owns them). All input shapes are family-padded: an exact-N slice
+    would compile+load a fresh executable per n_rows value (~10 s each
+    on the tunneled backend)."""
     R = bucket_c.shape[0]
     ones = jnp.ones((R, s_max), dtype=U32)
     keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
                                    k=k, m=m, b=b, s_max=s_max)
+    row_of = jnp.repeat(jnp.arange(R, dtype=U32), s_max)
+    val = val & (row_of < f_live.astype(U32))
     W = keys.shape[0]
     n = R * s_max
     order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
@@ -587,6 +596,7 @@ def _expand_strided(out_keys, out_hi, out_lo, out_cnt,
     ones = jnp.ones((R, s_max), dtype=U32)
     keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
                                    k=k, m=m, b=b, s_max=s_max)
+    n_live = jnp.sum(val).astype(jnp.int32)
     W = keys.shape[0]
     n = R * s_max
     row_g = row0 + jnp.repeat(jnp.arange(R, dtype=U32), s_max)
@@ -601,7 +611,7 @@ def _expand_strided(out_keys, out_hi, out_lo, out_cnt,
     out_lo = jax.lax.dynamic_update_slice(out_lo, lo, (write_pos,))
     out_cnt = jax.lax.dynamic_update_slice(
         out_cnt, jnp.where(val, U32(1), U32(0)), (write_pos,))
-    return out_keys, out_hi, out_lo, out_cnt
+    return out_keys, out_hi, out_lo, out_cnt, n_live
 
 
 def _shape_family(n: int, floor: int = 1 << 12) -> int:
@@ -627,35 +637,37 @@ def expand_device(state: SklState, k: int, m: int, b: int,
     W = store.key_words(k, b)
     F = int(state.n_fin_rows)
     N = int(state.n_rows)
-    F_k = int(state.n_fin_kmers)
     n_tail = N - F
-    sizes = jnp.where(state.bucket[:N] != _INVALID,
-                      state.meta[:N] & U32(0xFF), 0) if N else None
-    total_k = int(jnp.sum(sizes)) if N else 0
     F_pad = _shape_family(F, floor=1 << 8) if F else 0
     R_pad = _shape_family(n_tail, floor=1 << 8) if n_tail else 0
+    # SHAPE DISCIPLINE: every device op below runs on family-padded
+    # shapes via dynamic_slice — an exact-n_rows slice (odd shape) would
+    # compile AND load a fresh executable per value on the tunneled
+    # backend (~10 s each; this was the entire "expand 10 s" mystery).
+    need_cap = max(F + R_pad, F_pad, 1)
+    if need_cap > state.bucket.shape[0]:
+        state = grow(state, 1 << (need_cap - 1).bit_length(),
+                     state.data.shape[0])
     S2 = _shape_family((F_pad + R_pad) * s_max)
     out_keys = jnp.full((W, S2), _INVALID, dtype=U32)
     out_hi = jnp.full((S2,), _INVALID, dtype=U32)
     out_lo = jnp.full((S2,), _INVALID, dtype=U32)
     out_cnt = jnp.zeros((S2,), dtype=U32)
 
-    def rows(lo_r, hi_r, width):
-        pad = width - (hi_r - lo_r)
-        bucket_c = state.bucket[lo_r:hi_r]
-        meta_c = state.meta[lo_r:hi_r]
-        nucs_c = state.nucs[:, lo_r:hi_r]
-        if pad:
-            bucket_c = jnp.pad(bucket_c, (0, pad),
-                               constant_values=np.uint32(0xFFFFFFFF))
-            meta_c = jnp.pad(meta_c, (0, pad))
-            nucs_c = jnp.pad(nucs_c, ((0, 0), (0, pad)))
+    def rows(start, width):
+        # [start, start+width) is INVALID-padded beyond n_rows by the
+        # arena invariants (append_n dead tails, grow padding, tail sort)
+        bucket_c = jax.lax.dynamic_slice(state.bucket, (start,), (width,))
+        meta_c = jax.lax.dynamic_slice(state.meta, (start,), (width,))
+        nucs_c = jax.lax.dynamic_slice(state.nucs, (0, start),
+                                       (state.nucs.shape[0], width))
         return bucket_c, meta_c, nucs_c
 
     n_slots = jnp.int32(0)
+    dense_total = strided_total = jnp.int32(0)
     if F:  # finalized prefix: dense, one live-first sort
-        bucket_c, meta_c, nucs_c = rows(0, F, F_pad)
-        need = F_pad * s_max  # exact length: one compiled shape per F_pad
+        bucket_c, meta_c, nucs_c = rows(0, F_pad)
+        need = F_pad * s_max  # one compiled shape per F_pad
         if state.data.shape[0] < need:
             dslice = jnp.pad(state.data, (0, need - state.data.shape[0]))
         else:
@@ -663,13 +675,17 @@ def expand_device(state: SklState, k: int, m: int, b: int,
         (out_keys, out_hi, out_lo, out_cnt,
          n_slots) = _expand_dense_prefix(
             out_keys, out_hi, out_lo, out_cnt, n_slots,
-            bucket_c, meta_c, nucs_c, dslice, k=k, m=m, b=b, s_max=s_max)
+            bucket_c, meta_c, nucs_c, dslice, jnp.int32(F),
+            k=k, m=m, b=b, s_max=s_max)
+        dense_total = n_slots
     if n_tail:  # fresh tail: strided, sort-free, one call
-        bucket_t, meta_t, nucs_t = rows(F, N, R_pad)
-        (out_keys, out_hi, out_lo, out_cnt) = _expand_strided(
+        bucket_t, meta_t, nucs_t = rows(F, R_pad)
+        (out_keys, out_hi, out_lo, out_cnt,
+         strided_total) = _expand_strided(
             out_keys, out_hi, out_lo, out_cnt, bucket_t, meta_t, nucs_t,
             U32(F), jnp.int32(F_pad * s_max),
             k=k, m=m, b=b, s_max=s_max)
+    total_k = int(dense_total) + int(strided_total)
     return out_keys, out_hi, out_lo, out_cnt, n_slots, total_k
 
 
@@ -801,6 +817,24 @@ def expanded_state(state: SklState, k: int, m: int, b: int):
     return store.compact_fast(st)
 
 
+def fetch_rows(arr: jnp.ndarray, start: int, n: int) -> np.ndarray:
+    """Transfer arr[start:start+n] (last axis) to host through a
+    family-shaped dynamic_slice window: exact-length slices compile AND
+    load a fresh executable per distinct length on the tunneled backend
+    (~10 s each). The window start is shifted down when it would overrun
+    the array (dynamic_slice clamps); the overhang is trimmed on host."""
+    size = arr.shape[-1]
+    if n <= 0:
+        return np.zeros(arr.shape[:-1] + (0,), dtype=arr.dtype)
+    width = min(_shape_family(n, floor=1 << 4), size)
+    lo = min(start, size - width)
+    off = start - lo
+    starts = (0,) * (arr.ndim - 1) + (lo,)
+    sizes = arr.shape[:-1] + (width,)
+    return np.asarray(
+        jax.lax.dynamic_slice(arr, starts, sizes))[..., off:off + n]
+
+
 def bucket_slice(state: SklState, bucket_id: int, segments=None,
                  bucket_col: np.ndarray = None):
     """Row ranges of one bucket across the arena's bucket-grouped
@@ -815,7 +849,7 @@ def bucket_slice(state: SklState, bucket_id: int, segments=None,
     if segments is None:
         segments = [(0, n)]
     if bucket_col is None:
-        bucket_col = np.asarray(state.bucket[:n])
+        bucket_col = fetch_rows(state.bucket, 0, n)
     out = []
     for lo, hi in segments:
         seg = bucket_col[lo:hi]
@@ -846,14 +880,14 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
         bucket_np = np.full(Rp, 0xFFFFFFFF, np.uint32)
         meta_np = np.zeros(Rp, np.uint32)
         nucs_np = np.zeros((state.nucs.shape[0], Rp), np.uint32)
-        bucket_np[:R] = np.asarray(state.bucket[lo:hi])
-        meta_np[:R] = np.asarray(state.meta[lo:hi])
-        nucs_np[:, :R] = np.asarray(state.nucs[:, lo:hi])
-        offs = np.asarray(state.offs[lo:hi]).astype(np.int64)
+        bucket_np[:R] = fetch_rows(state.bucket, lo, R)
+        meta_np[:R] = fetch_rows(state.meta, lo, R)
+        nucs_np[:, :R] = fetch_rows(state.nucs, lo, R)
+        offs = fetch_rows(state.offs, lo, R).astype(np.int64)
         # rows of a segment are contiguous in data: transfer just that span
         d_lo = int(offs[0])
-        d_hi = min(int(offs[-1]) + s_max, state.data.shape[0])
-        dslice = np.asarray(state.data[d_lo:d_hi])
+        d_n = min(int(offs[-1]) + s_max, state.data.shape[0]) - d_lo
+        dslice = fetch_rows(state.data, d_lo, d_n)
         idx = np.clip(offs[:, None] + np.arange(s_max)[None, :] - d_lo, 0,
                       max(len(dslice) - 1, 1))
         base_count = np.zeros((Rp, s_max), np.uint32)
@@ -873,6 +907,79 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
         found |= eq.any(axis=1)
         counts += (eq * cnt[None, :].astype(np.uint64)).sum(axis=1)
     return found, counts.astype(np.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
+def _expand_join_dense(bucket_c, meta_c, nucs_c, data_c, f_live,
+                       k: int, m: int, b: int, s_max: int):
+    """(keys, cnt) of a FINALIZED arena for the query join — like
+    _expand_dense_prefix but WITHOUT the tag/output buffers (the join
+    never looks at slot order, halving its HBM footprint)."""
+    R = bucket_c.shape[0]
+    ones = jnp.ones((R, s_max), dtype=U32)
+    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
+                                   k=k, m=m, b=b, s_max=s_max)
+    row_of = jnp.repeat(jnp.arange(R, dtype=U32), s_max)
+    val = val & (row_of < f_live.astype(U32))
+    W = keys.shape[0]
+    n = R * s_max
+    order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
+    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W)),
+                       num_keys=1)
+    live_s = out[0] != _INVALID
+    keys_s = jnp.stack([jnp.where(live_s, kk, _INVALID)
+                        for kk in out[1:1 + W]])
+    cnt_s = jnp.where(live_s, data_c[:n], 0)
+    return keys_s, cnt_s
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
+def _expand_join_strided(bucket_c, meta_c, nucs_c,
+                         k: int, m: int, b: int, s_max: int):
+    """(keys, live) of a FRESH arena for the query join — strided, no
+    sort, no tags."""
+    R = bucket_c.shape[0]
+    ones = jnp.ones((R, s_max), dtype=U32)
+    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
+                                   k=k, m=m, b=b, s_max=s_max)
+    W = keys.shape[0]
+    keys_m = jnp.stack([jnp.where(val, keys[i], _INVALID)
+                        for i in range(W)])
+    return keys_m, val.astype(U32)
+
+
+def expand_for_join(state: SklState, k: int, m: int, b: int):
+    """(keys (W, S), counts (S,)) of an arena for the query join. The
+    arena must be fully finalized (counts = consolidated data) or fully
+    fresh (counts = 1 per live slot)."""
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    F = int(state.n_fin_rows)
+    N = int(state.n_rows)
+    R_pad = _shape_family(max(N, 1), floor=1 << 8)
+    if R_pad > state.bucket.shape[0]:
+        state = grow(state, 1 << (R_pad - 1).bit_length(),
+                     state.data.shape[0])
+
+    def rows(width):
+        bucket_c = jax.lax.dynamic_slice(state.bucket, (0,), (width,))
+        meta_c = jax.lax.dynamic_slice(state.meta, (0,), (width,))
+        nucs_c = jax.lax.dynamic_slice(state.nucs, (0, 0),
+                                       (state.nucs.shape[0], width))
+        return bucket_c, meta_c, nucs_c
+
+    bucket_c, meta_c, nucs_c = rows(R_pad)
+    if F == N:  # finalized index
+        need = R_pad * s_max
+        if state.data.shape[0] < need:
+            dslice = jnp.pad(state.data, (0, need - state.data.shape[0]))
+        else:
+            dslice = state.data[:need]
+        return _expand_join_dense(bucket_c, meta_c, nucs_c, dslice,
+                                  jnp.int32(F), k=k, m=m, b=b,
+                                  s_max=s_max)
+    assert F == 0, "join expansion needs a fully fresh or finalized arena"
+    return _expand_join_strided(bucket_c, meta_c, nucs_c,
+                                k=k, m=m, b=b, s_max=s_max)
 
 
 @jax.jit
@@ -928,17 +1035,21 @@ def query_join_total(state: SklState, qstate_box: list,
     callee takes OWNERSHIP (pops and frees the ~1 GB row arena right
     after its expansion; a plain argument would stay pinned by the
     caller's frame)."""
-    qstate = qstate_box.pop()
-    qk, qhi, qlo, qcnt, _, _ = expand_device(qstate, k, m, b)
-    del qhi, qlo, qstate
-    ik, ihi, ilo, icnt, _, _ = expand_device(state, k, m, b)
-    del ihi, ilo
-    # live index slots are the dense prefix [0, n_fin_kmers): slice off
-    # the INVALID padding so every join chunk sorts less
+    # ORDER MATTERS for peak HBM (16 GB): expand the index while the
+    # query side holds only its row arena, trim the index expansion to
+    # its dense live prefix and FREE the untrimmed buffers, THEN expand
+    # the query side.
+    ik0, icnt0 = expand_for_join(state, k, m, b)
     Si = _shape_family(int(state.n_fin_kmers))
-    if Si < ik.shape[1]:
-        ik = ik[:, :Si]
-        icnt = icnt[:Si]
+    if Si < ik0.shape[1]:
+        ik = ik0[:, :Si]
+        icnt = icnt0[:Si]
+    else:
+        ik, icnt = ik0, icnt0
+    del ik0, icnt0
+    qstate = qstate_box.pop()
+    qk, qcnt = expand_for_join(qstate, k, m, b)
+    del qstate
     Sq = qk.shape[1]
     CQ = min(Sq, 1 << 25)
     total = 0
@@ -1019,11 +1130,17 @@ def from_entries(state, k: int, m: int, b: int,
         n_fin_rows=jnp.int32(n_live), n_fin_kmers=jnp.int32(n_live))
 
 
+@jax.jit
+def _count_nonzero_prefix(data: jnp.ndarray, n: jnp.ndarray):
+    iota = jnp.arange(data.shape[0], dtype=jnp.int32)
+    return jnp.sum((iota < n) & (data != 0), dtype=jnp.int32)
+
+
 def stats(state: SklState) -> dict:
     n = int(state.n_fin_rows)
     nk = int(state.n_fin_kmers)
     nw = state.nucs.shape[0]
-    live_counts = int(np.count_nonzero(np.asarray(state.data)[:nk]))
+    live_counts = int(_count_nonzero_prefix(state.data, jnp.int32(nk)))
     resident = (8 + 4 * nw) * max(n, 1) + nk  # u8 counts on disk/resident
     return dict(nb_superkmer_rows=n, nb_slots=nk,
                 nb_live_kmers=live_counts,

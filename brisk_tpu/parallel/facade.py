@@ -46,7 +46,7 @@ class ShardedBrisk:
     def __init__(self, params: Parameters, mesh=None, n_devices: int = None,
                  batch_per_shard: int = 64, window: int = 256,
                  stack: int = 4, route_cap: int = None,
-                 capacity: int = 1 << 16, keep_superkmers: bool = True):
+                 capacity: int = 1 << 16):
         import brisk_tpu
         brisk_tpu.enable_persistent_cache()  # TPU-only; no-op on CPU
         from brisk_tpu.parallel import multihost
@@ -111,47 +111,45 @@ class ShardedBrisk:
         self._repair_superkmers = 0
         # per-shard compacted super-k-mer arenas (C8 at pod scale,
         # VERDICT r2 item 5); like api.Brisk they are consolidated lazily
-        self.keep_superkmers = keep_superkmers
         self.skl = None
         self._skl_dirty = False
         self._skl_rows_ub = 0   # upper bound on max-shard skl n_rows
-        if keep_superkmers:
+        from brisk_tpu.index import sklstore
+        self.skl_row_cap = max(16, self.window // 4)
+        # same multinomial sizing as route_cap (skl rows route by the
+        # same hashed bucket; spill-to-source covers the tail)
+        self.skl_route_cap = max(
+            16, 4 * batch_per_shard * self.skl_row_cap
+            // self.n_shards)
+        _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
+        self._skl_nw = nw
+        per_flush = stack * (self.n_shards * self.skl_route_cap
+                             + batch_per_shard * self.skl_row_cap)
+        rcap = 1 << max(12, (2 * per_flush - 1).bit_length())
+        if self.multihost:
             from brisk_tpu.index import sklstore
-            self.skl_row_cap = max(16, self.window // 4)
-            # same multinomial sizing as route_cap (skl rows route by the
-            # same hashed bucket; spill-to-source covers the tail)
-            self.skl_route_cap = max(
-                16, 4 * batch_per_shard * self.skl_row_cap
-                // self.n_shards)
-            _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
-            self._skl_nw = nw
-            per_flush = stack * (self.n_shards * self.skl_route_cap
-                                 + batch_per_shard * self.skl_row_cap)
-            rcap = 1 << max(12, (2 * per_flush - 1).bit_length())
-            if self.multihost:
-                from brisk_tpu.index import sklstore
-                from brisk_tpu.parallel import multihost as mh
+            from brisk_tpu.parallel import multihost as mh
 
-                def mk(shape, dt, fillval):
-                    return mh.make_global(
-                        mesh, shape, dt,
-                        lambda idx: np.full(
-                            tuple(s.stop - s.start for s in idx),
-                            fillval, dtype=dt))
+            def mk(shape, dt, fillval):
+                return mh.make_global(
+                    mesh, shape, dt,
+                    lambda idx: np.full(
+                        tuple(s.stop - s.start for s in idx),
+                        fillval, dtype=dt))
 
-                n = self.n_shards
-                self.skl = sklstore.SklState(
-                    bucket=mk((n, rcap), np.uint32, 0xFFFFFFFF),
-                    meta=mk((n, rcap), np.uint32, 0),
-                    nucs=mk((n, nw, rcap), np.uint32, 0),
-                    data=mk((n, 1 << 12), np.uint32, 0),
-                    offs=mk((n, rcap), np.uint32, 0),
-                    n_rows=mk((n,), np.int32, 0),
-                    n_fin_rows=mk((n,), np.int32, 0),
-                    n_fin_kmers=mk((n,), np.int32, 0))
-            else:
-                self.skl = sharded.sharded_skl_empty(self.n_shards, rcap,
-                                                     1 << 12, nw, mesh)
+            n = self.n_shards
+            self.skl = sklstore.SklState(
+                bucket=mk((n, rcap), np.uint32, 0xFFFFFFFF),
+                meta=mk((n, rcap), np.uint32, 0),
+                nucs=mk((n, nw, rcap), np.uint32, 0),
+                data=mk((n, 1 << 12), np.uint32, 0),
+                offs=mk((n, rcap), np.uint32, 0),
+                n_rows=mk((n,), np.int32, 0),
+                n_fin_rows=mk((n,), np.int32, 0),
+                n_fin_kmers=mk((n,), np.int32, 0))
+        else:
+            self.skl = sharded.sharded_skl_empty(self.n_shards, rcap,
+                                                 1 << 12, nw, mesh)
 
     # -- capacity (host-enforced; see sharded_insert_windows contract) ------
 
@@ -309,25 +307,17 @@ class ShardedBrisk:
             g_codes = jnp.asarray(codes)
             g_vs = jnp.asarray(vs)
             g_ve = jnp.asarray(ve)
-        if self.keep_superkmers:
-            self._ensure_skl_room(S * (self.n_shards * self.skl_route_cap
-                                       + self.B_local * self.skl_row_cap))
-            (self.state, self.skl, n_sk, n_km, n_sp, cert, ends, ovf,
-             self._chain) = sharded.sharded_insert_windows_skl(
-                self.state, self.skl, g_codes, g_vs, g_ve, self._chain,
-                k=p.k, m=p.m, b=p.b, mesh=self.mesh,
-                route_cap=self.route_cap, row_cap=self.skl_row_cap,
-                skl_route_cap=self.skl_route_cap)
-            self._skl_rows_ub += S * (self.n_shards * self.skl_route_cap
-                                      + self.B_local * self.skl_row_cap)
-            self._skl_dirty = True
-        else:
-            (self.state, n_sk, n_km, n_sp, cert, ends,
-             self._chain) = sharded.sharded_insert_windows(
-                self.state, g_codes, g_vs, g_ve, self._chain,
-                k=p.k, m=p.m, b=p.b, mesh=self.mesh,
-                route_cap=self.route_cap)
-            ovf = None
+        self._ensure_skl_room(S * (self.n_shards * self.skl_route_cap
+                                   + self.B_local * self.skl_row_cap))
+        (self.state, self.skl, n_sk, n_km, n_sp, cert, ends, ovf,
+         self._chain) = sharded.sharded_insert_windows_skl(
+            self.state, self.skl, g_codes, g_vs, g_ve, self._chain,
+            k=p.k, m=p.m, b=p.b, mesh=self.mesh,
+            route_cap=self.route_cap, row_cap=self.skl_row_cap,
+            skl_route_cap=self.skl_route_cap)
+        self._skl_rows_ub += S * (self.n_shards * self.skl_route_cap
+                                  + self.B_local * self.skl_row_cap)
+        self._skl_dirty = True
         self._n_used_ub += per_flush
         self.n_emitted += int(n_km)
         self.n_spilled += int(n_sp)
@@ -422,12 +412,11 @@ class ShardedBrisk:
             allrows = np.concatenate(repaired_rows, axis=0)
             if len(allrows):
                 self._deliver_rows(allrows)
-        if self.keep_superkmers:
-            skl_all = (np.concatenate(repaired_skl, axis=0)
-                       if repaired_skl else
-                       np.zeros((0, 2 + self._skl_nw), dtype=U32))
-            if self.multihost or len(skl_all):
-                self._deliver_skl_rows(skl_all)
+        skl_all = (np.concatenate(repaired_skl, axis=0)
+                   if repaired_skl else
+                   np.zeros((0, 2 + self._skl_nw), dtype=U32))
+        if self.multihost or len(skl_all):
+            self._deliver_skl_rows(skl_all)
 
     def _rerun_runs(self, packer, batches, runs, carries):
         """Exact streaming re-run of runs of consecutive failed windows
@@ -468,9 +457,7 @@ class ShardedBrisk:
                                em.mini_idx.reshape(-1), p.k, p.b)
         valid = np.asarray(em.valid).reshape(-1)
         rows_np = np.asarray(rows).T[valid]
-        sklrows_np = None
-        if self.keep_superkmers:
-            sklrows_np = self._skl_rows_np(em, em.valid)
+        sklrows_np = self._skl_rows_np(em, em.valid)
         self.n_emitted += int(valid.sum())
         self.n_superkmers += int(jnp.sum(em.boundary & em.valid))
         self._repair_emitted += int(valid.sum())
@@ -918,53 +905,59 @@ class ShardedBrisk:
                    else np.zeros((0,), dtype=U32))
         self._deliver_rows_valued(rows_np, vals_np)
         self._compact()
-        if self.keep_superkmers:
-            # rebuild per-shard size-1 arenas from the re-keyed entries
-            from brisk_tpu.parallel import multihost as mh
-            p = self.params
-            done = {}
-            rcap_max = kcap_max = 1
-            for d, local in self._local_shards():
-                fin = sklstore.from_entries(local, p.k, p.m, p.b)
-                done[d] = fin
-                rcap_max = max(rcap_max, fin.bucket.shape[0])
-                kcap_max = max(kcap_max, fin.data.shape[0])
-            rcap = mh.process_max(rcap_max)
-            kcap = mh.process_max(kcap_max)
-            nw2 = sklstore.skl_dims(p.k, p.m, p.b)[3]
-            self._skl_nw = nw2
-            for d, fin in done.items():
-                done[d] = fin._replace(
-                    bucket=jnp.pad(fin.bucket,
-                                   (0, rcap - fin.bucket.shape[0]),
-                                   constant_values=np.uint32(0xFFFFFFFF)),
-                    meta=jnp.pad(fin.meta, (0, rcap - fin.meta.shape[0])),
-                    nucs=jnp.pad(fin.nucs,
-                                 ((0, 0), (0, rcap - fin.nucs.shape[1]))),
-                    data=jnp.pad(fin.data, (0, kcap - fin.data.shape[0])),
-                    offs=jnp.pad(fin.offs, (0, rcap - fin.offs.shape[0])))
+        self._rebuild_skl_from_entries()
 
-            def assemble(name, shape_tail, dt):
-                def fill(idx):
-                    d = idx[0].start
-                    return np.asarray(getattr(done[d], name))[None]
+    def _rebuild_skl_from_entries(self) -> None:
+        """Rebuild the per-shard super-k-mer arenas as size-1 rows from
+        the packed per-shard entries (used by reallocate — new (m, b)
+        invalidates the old grouping — and by loads of checkpoints that
+        predate the skl arrays)."""
+        from brisk_tpu.index import sklstore
+        from brisk_tpu.parallel import multihost as mh
+        p = self.params
+        done = {}
+        rcap_max = kcap_max = 1
+        for d, local in self._local_shards():
+            fin = sklstore.from_entries(local, p.k, p.m, p.b)
+            done[d] = fin
+            rcap_max = max(rcap_max, fin.bucket.shape[0])
+            kcap_max = max(kcap_max, fin.data.shape[0])
+        rcap = mh.process_max(rcap_max)
+        kcap = mh.process_max(kcap_max)
+        nw2 = sklstore.skl_dims(p.k, p.m, p.b)[3]
+        self._skl_nw = nw2
+        for d, fin in done.items():
+            done[d] = fin._replace(
+                bucket=jnp.pad(fin.bucket,
+                               (0, rcap - fin.bucket.shape[0]),
+                               constant_values=np.uint32(0xFFFFFFFF)),
+                meta=jnp.pad(fin.meta, (0, rcap - fin.meta.shape[0])),
+                nucs=jnp.pad(fin.nucs,
+                             ((0, 0), (0, rcap - fin.nucs.shape[1]))),
+                data=jnp.pad(fin.data, (0, kcap - fin.data.shape[0])),
+                offs=jnp.pad(fin.offs, (0, rcap - fin.offs.shape[0])))
 
-                return mh.make_global(self.mesh,
-                                      (self.n_shards,) + shape_tail, dt,
-                                      fill)
+        def assemble(name, shape_tail, dt):
+            def fill(idx):
+                d = idx[0].start
+                return np.asarray(getattr(done[d], name))[None]
 
-            self.skl = sklstore.SklState(
-                bucket=assemble("bucket", (rcap,), np.uint32),
-                meta=assemble("meta", (rcap,), np.uint32),
-                nucs=assemble("nucs", (nw2, rcap), np.uint32),
-                data=assemble("data", (kcap,), np.uint32),
-                offs=assemble("offs", (rcap,), np.uint32),
-                n_rows=assemble("n_rows", (), np.int32),
-                n_fin_rows=assemble("n_fin_rows", (), np.int32),
-                n_fin_kmers=assemble("n_fin_kmers", (), np.int32))
-            self._skl_rows_ub = mh.process_max(
-                max((int(f.n_rows) for f in done.values()), default=0))
-            self._skl_dirty = False
+            return mh.make_global(self.mesh,
+                                  (self.n_shards,) + shape_tail, dt,
+                                  fill)
+
+        self.skl = sklstore.SklState(
+            bucket=assemble("bucket", (rcap,), np.uint32),
+            meta=assemble("meta", (rcap,), np.uint32),
+            nucs=assemble("nucs", (nw2, rcap), np.uint32),
+            data=assemble("data", (kcap,), np.uint32),
+            offs=assemble("offs", (rcap,), np.uint32),
+            n_rows=assemble("n_rows", (), np.int32),
+            n_fin_rows=assemble("n_fin_rows", (), np.int32),
+            n_fin_kmers=assemble("n_fin_kmers", (), np.int32))
+        self._skl_rows_ub = mh.process_max(
+            max((int(f.n_rows) for f in done.values()), default=0))
+        self._skl_dirty = False
 
     def _deliver_rows_valued(self, rows_np: np.ndarray,
                              vals_np: np.ndarray) -> None:
@@ -1022,11 +1015,10 @@ class ShardedBrisk:
         load() on a single host reassembles all process files."""
         self._compact()
         extra = {}
-        if self.keep_superkmers:
-            self.finalize()
-            if not self.multihost:
-                extra = {f"skl_{name}": np.asarray(getattr(self.skl, name))
-                         for name in self.skl._fields}
+        self.finalize()
+        if not self.multihost:
+            extra = {f"skl_{name}": np.asarray(getattr(self.skl, name))
+                     for name in self.skl._fields}
         if self.multihost:
             shards = {}
             for d, local in self._local_shards():
@@ -1034,11 +1026,10 @@ class ShardedBrisk:
                 shards[f"shard{d}_data"] = np.asarray(local.data)
                 shards[f"shard{d}_n"] = np.array(
                     [int(local.n_sorted), int(local.n_used)])
-            if self.keep_superkmers:
-                for d, lskl in self._local_skl():
-                    for name in lskl._fields:
-                        shards[f"shard{d}_skl_{name}"] = \
-                            np.asarray(getattr(lskl, name))
+            for d, lskl in self._local_skl():
+                for name in lskl._fields:
+                    shards[f"shard{d}_skl_{name}"] = \
+                        np.asarray(getattr(lskl, name))
             np.savez_compressed(
                 f"{path}.proc{self.pid}",
                 shard_ids=np.asarray(self.my_shards),
@@ -1086,8 +1077,7 @@ class ShardedBrisk:
                                           z[f"shard{d}_n"])
         if mesh is None:
             mesh = sharded.make_mesh(n_shards)
-        self = cls(params, mesh=mesh, capacity=keys.shape[2],
-                   keep_superkmers=False, **kw)
+        self = cls(params, mesh=mesh, capacity=keys.shape[2], **kw)
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
         self.state = store.IndexState(
             keys=jax.device_put(jnp.asarray(keys), sh),
@@ -1097,6 +1087,9 @@ class ShardedBrisk:
         self._sync_used()
         self.n_emitted = int(parts[0]["n_emitted"])
         self.n_spilled = sum(int(z["n_spilled"]) for z in parts)
+        # checkpoints predating the per-shard skl arrays: rebuild size-1
+        # arenas from the packed entries
+        self._rebuild_skl_from_entries()
         return self
 
     @classmethod
@@ -1110,8 +1103,7 @@ class ShardedBrisk:
             mesh = sharded.make_mesh(n_shards)
         assert mesh.shape["x"] == n_shards, \
             f"checkpoint has {n_shards} shards, mesh has {mesh.shape['x']}"
-        self = cls(params, mesh=mesh, capacity=z["keys"].shape[2],
-                   keep_superkmers=has_skl, **kw)
+        self = cls(params, mesh=mesh, capacity=z["keys"].shape[2], **kw)
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
         self.state = store.IndexState(
             keys=jax.device_put(jnp.asarray(z["keys"]), sh),
@@ -1125,6 +1117,8 @@ class ShardedBrisk:
                    for name in sklstore.SklState._fields})
             self._skl_rows_ub = int(jnp.max(self.skl.n_rows))
             self._skl_dirty = False
+        else:
+            self._rebuild_skl_from_entries()
         self.n_emitted = int(z["n_emitted"])
         self.n_superkmers = int(z["n_superkmers"])
         self.n_spilled = int(z["n_spilled"])

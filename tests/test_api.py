@@ -17,8 +17,7 @@ def rand_seq(n):
 
 @pytest.fixture(scope="module")
 def small_index():
-    idx = Brisk(Parameters(k=31, m=11, b=8), batch=16, window=128,
-                capacity=1 << 14)
+    idx = Brisk(Parameters(k=31, m=11, b=8), batch=16, window=128)
     idx.insert_file("data/test.fa")
     return idx
 
@@ -62,8 +61,7 @@ def test_scalar_get_hit_rate(small_index):
 
 
 def test_insert_sequence_and_query():
-    idx = Brisk(Parameters(k=21, m=9, b=6), batch=8, window=64,
-                capacity=1 << 12)
+    idx = Brisk(Parameters(k=21, m=9, b=6), batch=8, window=64)
     seq = rand_seq(200)
     idx.insert_sequence(seq)
     exp = {}
@@ -80,8 +78,7 @@ def test_save_load_roundtrip(small_index, tmp_path):
 
 
 def test_reallocate_preserves_counts():
-    idx = Brisk(Parameters(k=31, m=11, b=8), batch=16, window=128,
-                capacity=1 << 14)
+    idx = Brisk(Parameters(k=31, m=11, b=8), batch=16, window=128)
     idx.insert_file("data/test.fa")
     before = idx.counts_dict()
     idx.reallocate()

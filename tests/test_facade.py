@@ -66,11 +66,8 @@ def test_facade_insert_file_count_parity(tmp_path, mesh):
 
     # query_file parity with the single-chip facade
     from brisk_tpu.api import Brisk
-    from brisk_tpu.index import store as store_mod
-    ref = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=64,
-                capacity=1 << 15, keep_superkmers=False)
+    ref = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=64)
     ref.insert_file(path)
-    ref.state = store_mod.compact(ref.state)
     assert br.query_file(path) == ref.query_file(path)
 
 

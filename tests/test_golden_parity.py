@@ -57,8 +57,7 @@ def harness():
 @pytest.mark.parametrize("k,m,b", [(31, 11, 8), (63, 21, 14)])
 def test_engine_matches_compiled_reference_fixture(harness, k, m, b):
     golden = golden_counts(os.path.join(ROOT, "data", "test.fa"), k, m)
-    br = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128,
-               capacity=1 << 14)
+    br = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128)
     br.insert_file(os.path.join(ROOT, "data", "test.fa"))
     got = {kv: c for kv, c in br.counts_dict().items()}
     assert got == golden
@@ -73,8 +72,7 @@ def test_engine_matches_compiled_reference_synth(harness, tmp_path):
     path = str(tmp_path / "synth.fa")
     write_synth(path, n_bases=200_000, read_len=7_000, seed=4321)
     golden = golden_counts(path, k, m)
-    br = Brisk(Parameters(k=k, m=m, b=b), batch=32, window=256,
-               capacity=1 << 19)
+    br = Brisk(Parameters(k=k, m=m, b=b), batch=32, window=256)
     br.insert_file(path)
     assert br.counts_dict() == golden
 
@@ -87,7 +85,6 @@ def test_sharded_facade_matches_compiled_reference(harness):
     k, m, b = 31, 11, 8
     golden = golden_counts(os.path.join(ROOT, "data", "test.fa"), k, m)
     br = ShardedBrisk(Parameters(k=k, m=m, b=b), n_devices=8,
-                      batch_per_shard=8, window=64, stack=2,
-                      capacity=1 << 15)
+                      batch_per_shard=8, window=64, stack=2)
     br.insert_file(os.path.join(ROOT, "data", "test.fa"))
     assert br.counts_dict() == golden

@@ -8,12 +8,12 @@ from brisk_tpu.params import Parameters
 
 @pytest.mark.parametrize("k,m,b", [(31, 11, 8), (63, 21, 14)])
 def test_roundtrip(k, m, b, tmp_path):
-    """Per-k-mer KFF sections from the legacy packed backend."""
-    idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128,
-                capacity=1 << 14, keep_superkmers=False)
+    """Per-k-mer (degenerate 1-kmer block) KFF sections, written from
+    the transient expanded per-k-mer view."""
+    idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128)
     idx.insert_file("data/test.fa")
     path = str(tmp_path / "index.kff")
-    kff.write_index(path, idx.state, idx.params)
+    kff.write_index(path, idx._expanded_view(), idx.params)
     counts, rk, rm = kff.read_index(path)
     assert (rk, rm) == (k, m)
     assert counts == idx.counts_dict()
@@ -23,8 +23,7 @@ def test_roundtrip(k, m, b, tmp_path):
 def test_superkmer_blocks_roundtrip(k, m, b, tmp_path):
     """Whole-super-k-mer blocks (write_index_skl) round-trip to the same
     per-value counts as the per-k-mer store."""
-    idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128,
-                capacity=1 << 14)
+    idx = Brisk(Parameters(k=k, m=m, b=b), batch=16, window=128)
     idx.insert_file("data/test.fa")
     idx.finalize()
     path = str(tmp_path / "index_skl.kff")
@@ -88,8 +87,7 @@ def test_kff_writer_header_spec(tmp_path):
     """The writer's header bytes must sit at the spec offsets (so an
     upstream kff_io reader seeking by the spec finds them)."""
     import struct
-    idx = Brisk(Parameters(k=31, m=11, b=8), batch=8, window=64,
-                capacity=1 << 12)
+    idx = Brisk(Parameters(k=31, m=11, b=8), batch=8, window=64)
     idx.insert_sequence("ACGTACGTTAGCATGCATTACGGATCCGATCGA")
     idx.finalize()
     path = str(tmp_path / "hdr.kff")

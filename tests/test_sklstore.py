@@ -149,21 +149,12 @@ def expanded_counts(st, k, m, b):
     return got
 
 
-def brisk_key_counts(br):
-    """Per-packed-key counts from a PACKED-backend Brisk (ground truth:
-    keep_superkmers=False runs the per-kmer store path)."""
-    st = store.compact(br.state)
-    n = int(st.n_sorted)
-    keys = np.asarray(st.keys)[:, :n]
-    data = np.asarray(st.data)[:n]
-    return {tuple(int(x) for x in keys[:, i]): int(data[i])
-            for i in range(n)}
+from oracle_keys import oracle_key_counts  # noqa: E402
 
 
 def test_brisk_windowed_skl_parity():
-    """Brisk skl-native backend (the default) must hold exactly the
-    per-packed-key counts that the legacy packed backend computes for the
-    same input (windowed path + repairs)."""
+    """Brisk (skl arena) must hold exactly the per-packed-key counts of
+    the pure-Python oracle (windowed path + repairs)."""
     from brisk_tpu.api import Brisk
     from brisk_tpu.params import Parameters
     k, m, b = 31, 11, 8
@@ -171,10 +162,7 @@ def test_brisk_windowed_skl_parity():
     br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
     br.insert_sequence(seq)
     br.finalize()
-    ref = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2,
-                keep_superkmers=False)
-    ref.insert_sequence(seq)
-    exp = brisk_key_counts(ref)
+    exp = oracle_key_counts([seq], k, m, b)
     got = expanded_counts(br.skl, k, m, b)
     assert got == exp
     s = br.skl_stats()
@@ -187,13 +175,10 @@ def test_brisk_streaming_skl_parity_k63():
     k, m, b = 63, 21, 14
     seqs = [rand_seq(400), rand_seq(70)]
     br = Brisk(Parameters(k=k, m=m, b=b), batch=2, window=64)
-    ref = Brisk(Parameters(k=k, m=m, b=b), batch=2, window=64,
-                keep_superkmers=False)
     for s in seqs:
         br.insert_sequence(s)
-        ref.insert_sequence(s)
     br.finalize()
-    exp = brisk_key_counts(ref)
+    exp = oracle_key_counts(seqs, k, m, b)
     got = expanded_counts(br.skl, k, m, b)
     assert got == exp
 
@@ -229,12 +214,29 @@ def test_reallocate_rebuilds_skl():
     br.reallocate()
     assert br.params.m == m + 2
     assert br.counts_dict() == before
-    ref = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2,
-                keep_superkmers=False)
-    ref.insert_sequence(seq)
-    ref.reallocate()
+    # ground truth: ISOLATED per-kmer re-keying at the grown (m, b) —
+    # reallocate (like the reference's update_kmer, Brisk.hpp:88-97)
+    # re-derives each stored k-mer's minimizer from the VALUE alone,
+    # which can differ from scan-context keys on ties
+    from brisk_tpu.index import store as store_mod
+    from brisk_tpu.params import Parameters as P2
+    p2 = P2(k=br.params.k, m=br.params.m, b=br.params.b)
+    dede2 = pyref.get_decycling(p2.m)
+    exp = {}
+    for kv, c in before.items():
+        s = pyref.num2str(kv, k)
+        rec2 = pyref.str2kmer_record(s, p2.m, dede2)
+        key = pyref.hash_kmer_minimizer(rec2.kmer, rec2.minimizer_idx,
+                                        p2.m, dede2)
+        slice_hash = pyref.bfc_hash_64(
+            (rec2.kmer >> (2 * rec2.minimizer_idx)) & p2.m_mask,
+            p2.m_mask, dede2)
+        bucket = pyref.bucket_id(slice_hash, p2)
+        cols = store_mod.pack_key_np(bucket, key, rec2.minimizer_idx,
+                                     p2.k, p2.b)
+        t = tuple(int(x) for x in cols)
+        exp[t] = (exp.get(t, 0) + c) % 256
     got = expanded_counts(br.skl, br.params.k, br.params.m, br.params.b)
-    exp = brisk_key_counts(ref)
     assert got == exp
 
 
