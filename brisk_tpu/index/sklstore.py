@@ -364,6 +364,43 @@ def _expand_chunk(bucket, meta, nucs, base_count,
     return keys, cnt, val
 
 
+def _expand_one_j(bucket, meta, nucs_t, J, k: int, m: int, b: int):
+    """Packed keys (W, R) + live mask (R,) for k-mer index J (a TRACED
+    u32 scalar — this runs as a lax.scan body) of each row. Same math as
+    _expand_chunk's unrolled loop; the scan form exists because the
+    unrolled graph made XLA materialize every per-J u128 intermediate:
+    14.6 GB of temps at 8.4M rows (measured via memory_analysis), which
+    is the whole HBM."""
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    cs, _, _, nw = skl_dims(k, m, b)
+    size = meta & U32(0xFF)
+    mini = (meta >> U32(8)) & U32(0xFF)
+    live = bucket != _INVALID
+    zero = jnp.zeros_like(bucket)
+    ok = live & (J < size)
+    sh = U32(2) * jnp.where(ok, size - U32(1) - J, 0)
+    shifted = u128.shr_var(nucs_t, sh)
+    win = u128.mask_bits(tuple(shifted[:4]), 2 * cs)
+    h = jnp.where(ok, mini - (size - U32(1) - J), 0)
+    sh_h = U32(2) * h
+    low = u128.band(win, _ones_mask_var(sh_h, 4))
+    high = u128.shl_var(u128.shr_var(win, sh_h), sh_h + U32(2 * b))
+    bucket4 = (bucket, zero, zero, zero)
+    mid = u128.shl_var(bucket4, sh_h)
+    kmer = u128.mask_bits(u128.bor(u128.bor(low, high), mid), 2 * k)
+    full_mini_idx = jnp.where(ok, h - U32(suffix_reduc), 0)
+    pk = store.make_keys(jnp.where(ok, bucket, _INVALID),
+                         u128.stack(kmer), full_mini_idx, k, b)
+    return pk, ok
+
+
+def _nucs_tuple(bucket, nucs):
+    zero = jnp.zeros_like(bucket)
+    nw = nucs.shape[0]
+    return tuple(nucs[i] if i < nw else zero for i in range(max(nw, 4)))
+
+
 def expand_keys(state: SklState, k: int, m: int, b: int,
                 chunk_rows: int = 1 << 18):
     """Expand the whole arena to per-kmer packed keys host-orchestrated in
@@ -548,28 +585,40 @@ def _expand_dense_prefix(out_keys, out_hi, out_lo, out_cnt, n_slots,
     slot index t) — sorts before every tail tag in the consolidate
     back-sort. Rows at index >= f_live are fresh tail rows picked up by
     the family-padded slice and are masked dead here (the strided pass
-    owns them). All input shapes are family-padded: an exact-N slice
-    would compile+load a fresh executable per n_rows value (~10 s each
-    on the tunneled backend)."""
+    owns them). The per-J expansion runs as a lax.scan (see
+    _expand_one_j) and fills a J-MAJOR scratch buffer; the `order` sort
+    key (arena slot index r*s_max+j) restores arena-dense order, so
+    buffer layout never leaks out."""
     R = bucket_c.shape[0]
-    ones = jnp.ones((R, s_max), dtype=U32)
-    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
-                                   k=k, m=m, b=b, s_max=s_max)
-    row_of = jnp.repeat(jnp.arange(R, dtype=U32), s_max)
-    val = val & (row_of < f_live.astype(U32))
-    W = keys.shape[0]
+    W = store.key_words(k, b)
     n = R * s_max
-    order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
-    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W)),
+    nucs_t = _nucs_tuple(bucket_c, nucs_c)
+    jk = jnp.full((W, n), _INVALID, dtype=U32)
+    jorder = jnp.full((n,), _INVALID, dtype=U32)
+    r_iota = jnp.arange(R, dtype=U32)
+    row_live = r_iota < f_live.astype(U32)
+
+    def step(carry, J):
+        jk_, jo_ = carry
+        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
+        ok = ok & row_live
+        keys = jnp.where(ok[None, :], keys, _INVALID)
+        order = jnp.where(ok, r_iota * U32(s_max) + J, _INVALID)
+        pos = (J * U32(R)).astype(jnp.int32)
+        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
+        jo_ = jax.lax.dynamic_update_slice(jo_, order, (pos,))
+        return (jk_, jo_), jnp.sum(ok).astype(jnp.int32)
+
+    (jk, jorder), lives = jax.lax.scan(
+        step, (jk, jorder), jnp.arange(s_max, dtype=U32))
+    n_live = jnp.sum(lives)
+    out = jax.lax.sort((jorder,) + tuple(jk[i] for i in range(W)),
                        num_keys=1)
     live_s = out[0] != _INVALID
     keys_s = tuple(jnp.where(live_s, kk, _INVALID) for kk in out[1:1 + W])
-    n_live = jnp.sum(val).astype(jnp.int32)
     t = n_slots.astype(U32) + jnp.arange(n, dtype=U32)
     hi_s = jnp.where(live_s, U32(0), _INVALID)
     lo_s = jnp.where(live_s, t, _INVALID)
-    # base counts by position: slot t's count is data[t]; data_c is the
-    # chunk's slice of data starting at this chunk's first slot
     cnt_s = jnp.where(live_s, data_c[:n], 0)
     out_keys = jax.lax.dynamic_update_slice(
         out_keys, jnp.stack(keys_s), (jnp.int32(0), n_slots))
@@ -584,34 +633,38 @@ def _expand_dense_prefix(out_keys, out_hi, out_lo, out_cnt, n_slots,
 def _expand_strided(out_keys, out_hi, out_lo, out_cnt,
                     bucket_c, meta_c, nucs_c, row0, write_pos,
                     k: int, m: int, b: int, s_max: int):
-    """Expand one FRESH row chunk to STRIDED slots — pure elementwise,
-    NO sort (this was 10 s of the 50 Mb finalize as dense per-chunk
-    sorts). Slot (r, j) lands at buffer offset write_pos + r*s_max + j
-    with tag (hi = 1<<31 | bucket, lo = global_row*s_max + j); dead
-    slots get all-ones tags. The consolidate back-sort orders by tag =
-    (segment, bucket, old row, j) == the arena order AFTER the bucket
-    tail sort, with dead slots last — which makes the returned totals
-    DENSE in final arena order without ever dense-packing here."""
+    """Expand FRESH rows to J-MAJOR strided slots — a lax.scan over J,
+    pure elementwise per step, NO sort. Slot (r, J) lands at buffer
+    offset write_pos + J*R + r with tag (hi = 1<<31 | bucket,
+    lo = global_row*s_max + J); dead slots get all-ones tags. The
+    consolidate back-sort orders by tag = (segment, bucket, old row, j)
+    == the arena order AFTER the bucket tail sort, with dead slots last
+    — the J-major buffer layout never matters."""
     R = bucket_c.shape[0]
-    ones = jnp.ones((R, s_max), dtype=U32)
-    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
-                                   k=k, m=m, b=b, s_max=s_max)
-    n_live = jnp.sum(val).astype(jnp.int32)
-    W = keys.shape[0]
-    n = R * s_max
-    row_g = row0 + jnp.repeat(jnp.arange(R, dtype=U32), s_max)
-    j = jnp.tile(jnp.arange(s_max, dtype=U32), R)
-    bkt = jnp.repeat(bucket_c, s_max)
-    hi = jnp.where(val, U32(1 << 31) | bkt, _INVALID)
-    lo = jnp.where(val, row_g * U32(s_max) + j, _INVALID)
-    keys_m = tuple(jnp.where(val, keys[i], _INVALID) for i in range(W))
-    out_keys = jax.lax.dynamic_update_slice(
-        out_keys, jnp.stack(keys_m), (jnp.int32(0), write_pos))
-    out_hi = jax.lax.dynamic_update_slice(out_hi, hi, (write_pos,))
-    out_lo = jax.lax.dynamic_update_slice(out_lo, lo, (write_pos,))
-    out_cnt = jax.lax.dynamic_update_slice(
-        out_cnt, jnp.where(val, U32(1), U32(0)), (write_pos,))
-    return out_keys, out_hi, out_lo, out_cnt, n_live
+    W = store.key_words(k, b)
+    nucs_t = _nucs_tuple(bucket_c, nucs_c)
+    r_iota = jnp.arange(R, dtype=U32)
+    hi_base = U32(1 << 31) | bucket_c
+    lo_base = (row0 + r_iota) * U32(s_max)
+
+    def step(carry, J):
+        ok_, oh_, ol_, oc_ = carry
+        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
+        keys = jnp.where(ok[None, :], keys, _INVALID)
+        hi = jnp.where(ok, hi_base, _INVALID)
+        lo = jnp.where(ok, lo_base + J, _INVALID)
+        pos = write_pos + (J * U32(R)).astype(jnp.int32)
+        ok_ = jax.lax.dynamic_update_slice(ok_, keys, (jnp.int32(0), pos))
+        oh_ = jax.lax.dynamic_update_slice(oh_, hi, (pos,))
+        ol_ = jax.lax.dynamic_update_slice(ol_, lo, (pos,))
+        oc_ = jax.lax.dynamic_update_slice(
+            oc_, ok.astype(U32), (pos,))
+        return (ok_, oh_, ol_, oc_), jnp.sum(ok).astype(jnp.int32)
+
+    (out_keys, out_hi, out_lo, out_cnt), lives = jax.lax.scan(
+        step, (out_keys, out_hi, out_lo, out_cnt),
+        jnp.arange(s_max, dtype=U32))
+    return out_keys, out_hi, out_lo, out_cnt, jnp.sum(lives)
 
 
 def _shape_family(n: int, floor: int = 1 << 12) -> int:
@@ -913,18 +966,32 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
 def _expand_join_dense(bucket_c, meta_c, nucs_c, data_c, f_live,
                        k: int, m: int, b: int, s_max: int):
     """(keys, cnt) of a FINALIZED arena for the query join — like
-    _expand_dense_prefix but WITHOUT the tag/output buffers (the join
-    never looks at slot order, halving its HBM footprint)."""
+    _expand_dense_prefix but without tags (the join never looks at slot
+    order). Scan over J (see _expand_one_j) + one live-first sort to
+    align counts with data positions."""
     R = bucket_c.shape[0]
-    ones = jnp.ones((R, s_max), dtype=U32)
-    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
-                                   k=k, m=m, b=b, s_max=s_max)
-    row_of = jnp.repeat(jnp.arange(R, dtype=U32), s_max)
-    val = val & (row_of < f_live.astype(U32))
-    W = keys.shape[0]
+    W = store.key_words(k, b)
     n = R * s_max
-    order = jnp.where(val, jnp.arange(n, dtype=U32), _INVALID)
-    out = jax.lax.sort((order,) + tuple(keys[i] for i in range(W)),
+    nucs_t = _nucs_tuple(bucket_c, nucs_c)
+    jk = jnp.full((W, n), _INVALID, dtype=U32)
+    jorder = jnp.full((n,), _INVALID, dtype=U32)
+    r_iota = jnp.arange(R, dtype=U32)
+    row_live = r_iota < f_live.astype(U32)
+
+    def step(carry, J):
+        jk_, jo_ = carry
+        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
+        ok = ok & row_live
+        keys = jnp.where(ok[None, :], keys, _INVALID)
+        order = jnp.where(ok, r_iota * U32(s_max) + J, _INVALID)
+        pos = (J * U32(R)).astype(jnp.int32)
+        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
+        jo_ = jax.lax.dynamic_update_slice(jo_, order, (pos,))
+        return (jk_, jo_), None
+
+    (jk, jorder), _ = jax.lax.scan(step, (jk, jorder),
+                                   jnp.arange(s_max, dtype=U32))
+    out = jax.lax.sort((jorder,) + tuple(jk[i] for i in range(W)),
                        num_keys=1)
     live_s = out[0] != _INVALID
     keys_s = jnp.stack([jnp.where(live_s, kk, _INVALID)
@@ -936,16 +1003,27 @@ def _expand_join_dense(bucket_c, meta_c, nucs_c, data_c, f_live,
 @partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
 def _expand_join_strided(bucket_c, meta_c, nucs_c,
                          k: int, m: int, b: int, s_max: int):
-    """(keys, live) of a FRESH arena for the query join — strided, no
-    sort, no tags."""
+    """(keys, live) of a FRESH arena for the query join — scan over J,
+    J-major, no sort, no tags."""
     R = bucket_c.shape[0]
-    ones = jnp.ones((R, s_max), dtype=U32)
-    keys, cnt, val = _expand_chunk(bucket_c, meta_c, nucs_c, ones,
-                                   k=k, m=m, b=b, s_max=s_max)
-    W = keys.shape[0]
-    keys_m = jnp.stack([jnp.where(val, keys[i], _INVALID)
-                        for i in range(W)])
-    return keys_m, val.astype(U32)
+    W = store.key_words(k, b)
+    n = R * s_max
+    nucs_t = _nucs_tuple(bucket_c, nucs_c)
+    jk = jnp.full((W, n), _INVALID, dtype=U32)
+    jc = jnp.zeros((n,), dtype=U32)
+
+    def step(carry, J):
+        jk_, jc_ = carry
+        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
+        keys = jnp.where(ok[None, :], keys, _INVALID)
+        pos = (J * U32(R)).astype(jnp.int32)
+        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
+        jc_ = jax.lax.dynamic_update_slice(jc_, ok.astype(U32), (pos,))
+        return (jk_, jc_), None
+
+    (jk, jc), _ = jax.lax.scan(step, (jk, jc),
+                               jnp.arange(s_max, dtype=U32))
+    return jk, jc
 
 
 def expand_for_join(state: SklState, k: int, m: int, b: int):
