@@ -129,20 +129,28 @@ class Brisk:
         presized to the same shape insert_file will use. Runs one empty
         window stack; no rows or counts result from it."""
         p = self.params
-        if p.k > 32:
-            return  # k > 32 uses wider arenas; first flush compiles
         if n_bases_estimate:
             self._presize_for(n_bases_estimate)
-        packer = windows.WindowPacker(p.k, p.m, self.batch,
-                                      l_out=self.window)
         S, B = self.stack, self.batch
-        out = pipeline.insert_windows_sklnative(
-            self.skl, jnp.zeros((S, B, packer.l_buf4), jnp.uint8),
-            jnp.zeros((S, B), jnp.int32), jnp.zeros((S, B), jnp.int32),
-            pipeline.zero_chain(), k=p.k, m=p.m, b=p.b,
-            row_cap=self.skl_row_cap, l_buf=packer.l_buf)
-        self.skl = out[0]
-        jax.block_until_ready(out[6])
+        if p.k > 32:  # streaming product program (see _insert_streaming)
+            spacker = fasta.BatchPacker(p.k, self.batch, self.window)
+            out = pipeline.insert_stream_sklnative(
+                self.skl, jnp.zeros((S, B, spacker.l_buf), jnp.uint8),
+                jnp.ones((S, B), bool), jnp.zeros((S, B), jnp.int32),
+                enum_ops.zero_carry(B), k=p.k, m=p.m, b=p.b,
+                row_cap=spacker.l_new)
+            self.skl = out[0]
+            jax.block_until_ready(out[4])
+        else:
+            packer = windows.WindowPacker(p.k, p.m, self.batch,
+                                          l_out=self.window)
+            out = pipeline.insert_windows_sklnative(
+                self.skl, jnp.zeros((S, B, packer.l_buf4), jnp.uint8),
+                jnp.zeros((S, B), jnp.int32), jnp.zeros((S, B), jnp.int32),
+                pipeline.zero_chain(), k=p.k, m=p.m, b=p.b,
+                row_cap=self.skl_row_cap, l_buf=packer.l_buf)
+            self.skl = out[0]
+            jax.block_until_ready(out[6])
         if n_bases_estimate and int(self.skl.n_rows) == 0:
             # Pre-load the FINALIZE executables too: on the tunneled
             # runtime every program pays a multi-second per-process
@@ -180,9 +188,18 @@ class Brisk:
         (np.stack + the ~13 MB/s tunnel H2D) while the main thread
         dispatches device programs and retires completed flushes — the
         serial pack->transfer->dispatch loop left ~1 s/50 Mb of the
-        pipeline idle."""
+        pipeline idle.
+
+        k > 32 routes to the exact streaming path instead: the
+        truncation quirk starves the windowed equality certificate
+        (30-99% of windows repaired depending on window size), while
+        one-record-per-lane streaming is sequentially exact with ZERO
+        repairs (pipeline.insert_stream_sklnative)."""
         import queue
         import threading
+        if self.params.k > 32:
+            self._insert_streaming(records)
+            return
         p = self.params
         packer = windows.WindowPacker(p.k, p.m, self.batch,
                                       l_out=self.window)
@@ -231,6 +248,49 @@ class Brisk:
         t.join()
         if err:
             raise err[0]
+        self._drain()
+
+    def _insert_streaming(self, records) -> None:
+        """k > 32: one record per lane, exact device-resident carry
+        across batches/flushes, fused skl-row appends — no warm-up
+        replay, no certificates, no repairs. Data-parallel across
+        records (the common read-set shape at k = 63)."""
+        p = self.params
+        packer = fasta.BatchPacker(p.k, self.batch, self.window)
+        S, B = self.stack, self.batch
+        row_cap = packer.l_new  # full width: segmentation cannot overflow
+        carry = enum_ops.zero_carry(B)
+        flush_rows = S * B * row_cap
+        pending = []
+
+        def flush(batches):
+            nonlocal carry
+            if self._rows_ub + flush_rows > self.skl.bucket.shape[0]:
+                self._settle_counts()
+                self._rows_ub = int(self.skl.n_rows)
+                self.skl = sklstore.ensure_room(self.skl, flush_rows)
+            (self.skl, n_sk, n_km, carry,
+             _nr) = pipeline.insert_stream_sklnative(
+                self.skl, jnp.asarray(np.stack([b.codes for b in batches])),
+                jnp.asarray(np.stack([b.fresh for b in batches])),
+                jnp.asarray(np.stack([b.valid_end for b in batches])),
+                carry, k=p.k, m=p.m, b=p.b, row_cap=row_cap)
+            self._count_acc.append((n_sk, n_km, 0))
+            self._rows_ub += flush_rows
+            self._dirty = True
+            self._expanded = None
+
+        for bt in packer.pack(records):
+            pending.append(bt)
+            if len(pending) == S:
+                flush(pending)
+                pending = []
+        if pending:
+            while len(pending) < S:  # tail pad: fresh empty lanes
+                pending.append(fasta.Batch(
+                    np.zeros((B, packer.l_buf), np.uint8),
+                    np.ones(B, dtype=bool), np.zeros(B, np.int32), 0))
+            flush(pending)
         self._drain()
 
     def _dispatch_flush(self, packer, batches, codes4_d, vs_d, ve_d
@@ -525,7 +585,11 @@ class Brisk:
         B = self.batch
         R = len(runs)
         Rp = 1 << max(2, (R - 1).bit_length())
-        span_max = max(len(r) for r in runs)
+        # span padded to a pow2 so the repair program compiles per shape
+        # FAMILY, not per exact run length (VERDICT r3 item 3: every new
+        # (Rp, L_rep) shape is a fresh multi-second executable load; a
+        # heavy-repair k=63 ingest would otherwise spend minutes there)
+        span_max = 1 << (max(len(r) for r in runs) - 1).bit_length()
         L_rep = (l_buf - warmup) + (span_max - 1) * useful
         codes = np.zeros((Rp, L_rep), dtype=np.uint8)
         ve = np.zeros(Rp, dtype=np.int32)

@@ -255,6 +255,67 @@ def insert_windows_sklnative(skl, codes: jnp.ndarray,
             skl.n_rows + jnp.int32(0), chain)
 
 
+@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap"),
+         donate_argnums=(0,))
+def insert_stream_sklnative(skl, codes: jnp.ndarray, fresh: jnp.ndarray,
+                            valid_end: jnp.ndarray, carry,
+                            k: int, m: int, b: int, row_cap: int):
+    """THE k > 32 product insert program: one RECORD per lane with the
+    exact streaming carry (MinimizerState) across batches and flushes —
+    sequentially exact by construction, so the k > 32 truncation quirk
+    never needs a certificate and NOTHING repairs (the windowed path's
+    equality chain starves at k > 32: the quirk poisons stored-hash
+    comparisons, so a warm-up replay only re-syncs at rare expiry
+    alignments — ~30-99% of windows repaired depending on window size).
+    Data-parallel across records, which is the scale story for real
+    read sets; one giant chromosome at k > 32 degrades to few lanes
+    (use the windowed path for that shape of input).
+
+    codes (S, B, L_buf) u8/u32 unpacked; fresh/valid_end (S, B); carry
+    MinimizerState of (B,) leaves. Rows split at batch seams (same
+    content, counts unaffected). Returns (skl', n_sk, n_km, carry',
+    n_rows_after)."""
+    from brisk_tpu.index import sklstore
+
+    S, B, L_buf = codes.shape
+    margin = k - 1
+    nw = skl.nucs.shape[0]
+    R = B * row_cap
+    _INV = np.uint32(0xFFFFFFFF)
+    pos_out = jnp.arange(margin, L_buf, dtype=jnp.uint32)[None, :]
+
+    def step(carry_t, xs):
+        sk, cy = carry_t
+        codes_i, fresh_i, ve_i = xs
+        em, cy = enum_ops.enumerate_batch(codes_i, fresh_i, ve_i, cy,
+                                          k=k, m=m, b=b)
+        # every lane's first valid emission starts a row (batch seams
+        # split super-k-mers exactly like window seams)
+        first_valid = jnp.broadcast_to(pos_out == jnp.uint32(margin),
+                                       em.valid.shape)
+        rb, rm, rn, ovf = sklstore.rows_from_emissions(
+            em.key, em.bucket, em.mini_idx, em.use_rc, em.valid,
+            first_valid, em.boundary, k, m, b, row_cap)
+        rb_f = rb.reshape(R)
+        live = rb_f != _INV
+        order = jnp.where(live, jnp.arange(R, dtype=jnp.uint32), _INV)
+        out = jax.lax.sort(
+            (order, rb_f, rm.reshape(R))
+            + tuple(rn.reshape(nw, R)[i] for i in range(nw)), num_keys=1)
+        n_live = jnp.sum(live).astype(jnp.int32)
+        sk = sklstore.append_n(sk, out[1], out[2], jnp.stack(out[3:]),
+                               n_live)
+        n_sk = (jnp.sum(em.boundary & em.valid)
+                + jnp.sum(fresh_i & (ve_i > 0))).astype(jnp.int32)
+        n_km = jnp.sum(em.valid).astype(jnp.int32)
+        return (sk, cy), (n_sk, n_km)
+
+    (skl, carry), (n_sks, n_kms) = jax.lax.scan(
+        step, (skl, carry), (codes, fresh, valid_end))
+    return (skl, jnp.sum(n_sks), jnp.sum(n_kms), carry,
+            skl.n_rows + jnp.int32(0))
+
+
 @partial(jax.jit, static_argnames=("k", "m", "b", "width"),
          donate_argnums=(0,))
 def insert_windows_payload(state, codes: jnp.ndarray,

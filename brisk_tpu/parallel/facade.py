@@ -428,7 +428,7 @@ class ShardedBrisk:
         B = batches[0].codes.shape[0]  # local lane count
         R = len(runs)
         Rp = 1 << max(2, (R - 1).bit_length())
-        span_max = max(len(r) for r in runs)
+        span_max = 1 << (max(len(r) for r in runs) - 1).bit_length()  # shape family
         L_rep = (l_buf - warmup) + (span_max - 1) * useful
         codes = np.zeros((Rp, L_rep), dtype=np.uint8)
         ve = np.zeros(Rp, dtype=np.int32)
