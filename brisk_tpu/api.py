@@ -157,15 +157,23 @@ class Brisk:
             # executable build/load keyed by its shape family; a dummy
             # finalize at the row count the input predicts (~1 row per 6
             # bases at SKL_SIZE_CAP=8) moves that cost off the serving
-            # path. The dummy DONATES the (empty) arena buffers, so the
-            # arena is recreated afterwards.
+            # path. The prediction is approximate (avg super-k-mer size
+            # varies with k/content), so BOTH the predicted family and
+            # its neighbor run — covering estimate error up to ~77%.
+            # Dummies DONATE the (empty) arena buffers, so the arena is
+            # recreated afterwards.
             rcap = self.skl.bucket.shape[0]
             kcap = self.skl.data.shape[0]
             nw = self.skl.nucs.shape[0]
             est_rows = min(max(1024, n_bases_estimate // 6), rcap // 2)
-            fake = self.skl._replace(n_rows=jnp.int32(est_rows))
-            sklstore.finalize_device(fake, p.k, p.m, p.b)
-            self.skl = sklstore.empty(rcap, kcap, nw)
+            fam = sklstore._shape_family(est_rows, floor=1 << 8)
+            for est in (fam, sklstore._shape_family(fam + 1,
+                                                    floor=1 << 8)):
+                if est > rcap // 2:
+                    break
+                fake = self.skl._replace(n_rows=jnp.int32(est))
+                sklstore.finalize_device(fake, p.k, p.m, p.b)
+                self.skl = sklstore.empty(rcap, kcap, nw)
 
     def insert_file(self, path: str) -> None:
         """Sequence-parallel windowed insertion for every k (the k > 32

@@ -231,7 +231,12 @@ class ShardedBrisk:
                 np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
 
     # fused window path (every k: the cross-shard equality chain certifies
-    # k > 32 windows, sharded._chain_exact_sharded)
+    # k > 32 windows, sharded._chain_exact_sharded). NOTE: at k > 32 the
+    # truncation quirk starves the chain (see api._insert_streaming,
+    # which single-chip k > 32 routes around with exact streaming; the
+    # pod-scale streaming-skl program is the round-5 counterpart) —
+    # counts stay EXACT here via the batched repair path, at repair-time
+    # cost on quirk-heavy inputs.
     def _insert_windowed(self, records) -> None:
         from brisk_tpu.parallel import multihost
         p = self.params
