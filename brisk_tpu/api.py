@@ -51,8 +51,10 @@ from brisk_tpu.oracle import pyref
 from brisk_tpu.ops import enumerate as enum_ops
 from brisk_tpu.params import Parameters
 
-_INFLIGHT_DEPTH = 4  # flushes kept un-retired so host packing and device
-#                      compute overlap (JAX async dispatch does the rest)
+_INFLIGHT_DEPTH = 32  # flushes kept un-retired so host packing and device
+#                       compute overlap; typical files retire everything
+#                       at drain in ONE batched transfer (each per-flush
+#                       retire costs a tunnel round-trip)
 
 
 class Brisk:
@@ -332,8 +334,13 @@ class Brisk:
             self._retire(self._pending.pop(0))
 
     def _drain(self) -> None:
-        while self._pending:
-            self._retire(self._pending.pop(0))
+        if self._pending:
+            # ONE transfer for every pending flush's cert/ovf flags
+            # (per-flush np.asarray cost a tunnel round-trip each)
+            all_flags = jax.device_get([r["flags"] for r in self._pending])
+            pending, self._pending = self._pending, []
+            for rec, fl in zip(pending, all_flags):
+                self._retire(rec, np.asarray(fl))
         self._settle_counts()
         self._rows_ub = int(self.skl.n_rows)
 
@@ -349,7 +356,7 @@ class Brisk:
             self.n_emitted += int(n_km)
         self._count_acc = []
 
-    def _retire(self, rec) -> None:
+    def _retire(self, rec, flags_np=None) -> None:
         """Resolve one flush: fold its counters, repair uncertified lanes
         exactly, re-run skl-overflow lanes at full width.
 
@@ -368,7 +375,8 @@ class Brisk:
         self._count_acc.append((rec["n_sk"], rec["n_km"],
                                 sum(bt.n_records for bt in batches)))
 
-        flags = np.asarray(rec["flags"]).reshape(-1)
+        flags = (np.asarray(rec["flags"]) if flags_np is None
+                 else flags_np).reshape(-1)
         cert_f = (flags & 1).astype(bool)
         rec_f = np.concatenate([bt.rec for bt in batches])
         win_f = np.concatenate([bt.win for bt in batches])

@@ -744,15 +744,21 @@ def expand_device(state: SklState, k: int, m: int, b: int,
 
 @jax.jit
 def _consolidate_dense(keys, tag_hi, tag_lo, cnt):
-    """Sort all slots by key (ties: tag order = final arena order), land
-    each duplicate run's total on its FIRST slot, back-sort by tag.
-    Because tags order as (finalized-prefix t | (1, bucket, old row, j)
-    | dead), the back-sorted totals are DENSE in the arena order the
-    bucket tail sort produces — dead/pad slots land at the end."""
+    """Sort all slots by key, land each duplicate run's total on ONE
+    slot of the run, back-sort by tag. Because tags order as
+    (finalized-prefix t | (1, bucket, old row, j) | dead), the
+    back-sorted totals are DENSE in the arena order the bucket tail
+    sort produces — dead/pad slots land at the end.
+
+    The key sort does NOT tie-break on tags (num_keys=W, not W+2): the
+    XLA sort is comparator-bound and every consumer (probe, join,
+    expansion base counts, re-finalize) SUMS counts per key across
+    slots, so it never matters which duplicate slot carries the run
+    total."""
     W = keys.shape[0]
     S2 = tag_hi.shape[0]
     ops = tuple(keys[i] for i in range(W)) + (tag_hi, tag_lo, cnt)
-    out = jax.lax.sort(ops, num_keys=W + 2)
+    out = jax.lax.sort(ops, num_keys=W)
     skeys, s_hi, s_lo, scnt = out[:W], out[W], out[W + 1], out[W + 2]
     first = jnp.zeros(S2, dtype=bool).at[0].set(True)
     neq = jnp.zeros(S2, dtype=bool)

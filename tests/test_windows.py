@@ -188,9 +188,9 @@ def test_poisoned_window_degrades_not_dies(monkeypatch):
     monkeypatch.setattr(pl, "insert_windows_sklnative", poisoned)
     orig_retire = Brisk._retire
 
-    def retire_break_chain(self, rec):
+    def retire_break_chain(self, rec, flags_np=None):
         self._prev_tail = None  # poison stack-continuity bookkeeping
-        return orig_retire(self, rec)
+        return orig_retire(self, rec, flags_np)
 
     monkeypatch.setattr(Brisk, "_retire", retire_break_chain)
     br.insert_sequence(seq)
