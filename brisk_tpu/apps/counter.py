@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("-b", type=int, default=14)
     ap.add_argument("-o", dest="outfile", default="",
                     help="KFF output file")
+    ap.add_argument("-t", "--threads", type=int, default=1,
+                    help="accepted for reference-CLI parity; parallelism "
+                         "here is device lanes (--batch), not host threads")
     ap.add_argument("--mode", type=int, default=0,
                     help="0: count | 1: perf only | 2: verify vs oracle")
     ap.add_argument("--batch", type=int, default=512)

@@ -14,8 +14,8 @@ global lanes, a stack of S window batches runs as one device program
 (sharded.sharded_insert_windows), and the rare uncertified windows are
 re-run exactly through the streaming carry path on the host's default
 device and delivered to their owner shards via a host-built routing
-buffer (sharded.sharded_append_buf). k > 32 falls back to the streaming
-BatchPacker path (sharded.sharded_insert_step).
+buffer (sharded.sharded_append_buf). k > 32 runs the same windowed
+path (exact via batched repairs; see the note at _insert_windowed).
 
 Capacity contracts are HOST-enforced: appends consume a fixed number of
 raw log slots per step, tracked host-side as an upper bound so the hot
@@ -210,25 +210,6 @@ class ShardedBrisk:
         if chunks is not None:
             return iter(chunks)
         return pyref.read_fasta_chunks(path)
-
-    # streaming path (k > 32): one record per lane, carry across batches
-    def _insert_streaming(self, batches) -> None:
-        p = self.params
-        carry = enum_ops.zero_carry(self.B)
-        per_step = (self.n_shards * self.route_cap
-                    + self.B_local * self.window)
-        for bt in batches:
-            self._ensure_room(per_step)
-            self.state, carry, stats = sharded.sharded_insert_step(
-                self.state, jnp.asarray(bt.codes, dtype=jnp.uint32),
-                jnp.asarray(bt.fresh), jnp.asarray(bt.valid_end), carry,
-                k=p.k, m=p.m, b=p.b, mesh=self.mesh,
-                route_cap=self.route_cap)
-            self._n_used_ub += per_step
-            self.n_emitted += bt.n_kmers
-            self.n_spilled += int(stats.n_spilled)
-            self.n_superkmers += int(stats.n_boundaries) + int(
-                np.sum(np.asarray(bt.fresh) & (np.asarray(bt.valid_end) > 0)))
 
     # fused window path (every k: the cross-shard equality chain certifies
     # k > 32 windows, sharded._chain_exact_sharded). NOTE: at k > 32 the
