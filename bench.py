@@ -147,6 +147,11 @@ def e2e_bench():
         e2e_repaired_windows=br.n_repaired_windows,
         e2e_skl_overflows=br.n_skl_overflows,
     )
+    ss = br.skl_stats()
+    out.update(
+        resident_bytes_per_kmer=round(ss["bytes_per_kmer"], 2),
+        avg_kmers_per_superkmer_row=round(ss["avg_kmers_per_skl"], 2),
+    )
     t3 = time.time()
     total = br.query_file(path)
     t4 = time.time()

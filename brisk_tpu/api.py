@@ -118,9 +118,13 @@ class Brisk:
         pays an executable build/load even with a warm compilation cache
         (~10 s measured for the fused insert program). Estimate: at most
         one row per 3 k-mers (pathological inputs repair through
-        _repair_skl_overflow anyway), plus in-flight flush slack."""
+        _repair_skl_overflow anyway), plus a few flushes of in-flight
+        slack (NOT _INFLIGHT_DEPTH-proportional: the worst-case per-flush
+        row bound is loose, and capacity pressure triggers a drain +
+        exact re-check anyway — depth 32 would inflate the arena 8x and
+        change every downstream executable shape)."""
         flush_rows = self.stack * self.batch * self.skl_row_cap
-        est = n_bases_estimate // 3 + (_INFLIGHT_DEPTH + 1) * flush_rows
+        est = n_bases_estimate // 3 + 5 * flush_rows
         self.skl = sklstore.ensure_room(self.skl, max(0, est
                                                       - int(self.skl.n_rows)))
 
@@ -169,11 +173,25 @@ class Brisk:
             nw = self.skl.nucs.shape[0]
             est_rows = min(max(1024, n_bases_estimate // 6), rcap // 2)
             fam = sklstore._shape_family(est_rows, floor=1 << 8)
+            iota = jnp.arange(rcap, dtype=jnp.uint32)
             for est in (fam, sklstore._shape_family(fam + 1,
                                                     floor=1 << 8)):
                 if est > rcap // 2:
                     break
-                fake = self.skl._replace(n_rows=jnp.int32(est))
+                # FAKE LIVE rows (size 6 each) so the dummy's total-kmer
+                # count — and therefore the data-arena kcap family and
+                # its slice program — match what the real input will
+                # produce, not the empty-arena degenerate shapes
+                live = iota < jnp.uint32(est)
+                s_max = sklstore.skl_dims(p.k, p.m, p.b)[1]
+                fake_sz = min(6, s_max)
+                fake = self.skl._replace(
+                    bucket=jnp.where(live, jnp.uint32(0),
+                                     self.skl.bucket),
+                    meta=jnp.where(live,
+                                   jnp.uint32(fake_sz | (s_max << 8)),
+                                   self.skl.meta),
+                    n_rows=jnp.int32(est))
                 sklstore.finalize_device(fake, p.k, p.m, p.b)
                 self.skl = sklstore.empty(rcap, kcap, nw)
 

@@ -847,7 +847,7 @@ def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
     arena_counts = _consolidate_dense(keys, tag_hi, tag_lo, counts)
     offs, total_k = _offs_total(state.bucket, state.meta, state.n_rows)
     tk = int(total_k)
-    kcap = 1 << max(14, (max(tk, 1) - 1).bit_length())
+    kcap = _shape_family(tk, floor=1 << 14)
     data = arena_counts
     if kcap <= data.shape[0]:
         data = jax.lax.dynamic_slice(data, (0,), (kcap,))
