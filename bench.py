@@ -71,16 +71,12 @@ def product_device_bench():
     rng = np.random.default_rng(1234)
     rec = rng.integers(0, 4, 24_000_000, dtype=np.uint8)
     stacks = []
-    pending = []
-    for bt in packer.pack(iter([rec])):
-        pending.append(bt)
-        if len(pending) == S:
-            stacks.append((
-                jnp.asarray(np.stack([x.codes4 for x in pending])),
-                jnp.asarray(np.stack([x.valid_start for x in pending])),
-                jnp.asarray(np.stack([x.valid_end for x in pending])),
-                int(sum(x.n_kmers for x in pending))))
-            pending = []
+    for fl in packer.pack_flat(iter([rec]), S):
+        stacks.append((
+            jnp.asarray(fl.chunk4),
+            jnp.asarray(fl.valid_start.reshape(S, B)),
+            jnp.asarray(fl.valid_end.reshape(S, B)),
+            int(fl.n_kmers)))
         if len(stacks) == 3:
             break
 
@@ -92,10 +88,10 @@ def product_device_bench():
     chain = pipeline.zero_chain()
 
     def flush(sk, ch, st):
-        out = pipeline.insert_windows_sklnative(
+        out = pipeline.insert_flat_sklnative(
             sk, st[0], st[1], st[2], ch, k=k, m=m, b=b, row_cap=row_cap,
-            l_buf=packer.l_buf)
-        return out[0], out[7], out[6]
+            l_buf=packer.l_buf, useful=packer.useful)
+        return out[0], out[6], out[5]
 
     skl, chain, nr = flush(skl, chain, stacks[0])  # compile + load
     int(nr)  # data-dependent readback: block_until_ready returns early

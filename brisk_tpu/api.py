@@ -95,6 +95,7 @@ class Brisk:
         self._bucket_col = None      # host cache of the arena bucket column
         self._pending = []           # in-flight flush records
         self._count_acc = []         # deferred (n_sk, n_km) device scalars
+        self._n_repair_appends = 0   # repair rows appended (drain checks)
         self._rows_ub = 0            # upper bound on skl.n_rows
         _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
         flush_rows = stack * batch * self.skl_row_cap
@@ -150,13 +151,17 @@ class Brisk:
         else:
             packer = windows.WindowPacker(p.k, p.m, self.batch,
                                           l_out=self.window)
-            out = pipeline.insert_windows_sklnative(
-                self.skl, jnp.zeros((S, B, packer.l_buf4), jnp.uint8),
+            u4 = packer.useful // 4
+            nparts = -(-packer.l_buf4 // u4)
+            chunk4_len = (S * B + nparts - 1) * u4
+            out = pipeline.insert_flat_sklnative(
+                self.skl, jnp.zeros((chunk4_len,), jnp.uint8),
                 jnp.zeros((S, B), jnp.int32), jnp.zeros((S, B), jnp.int32),
                 pipeline.zero_chain(), k=p.k, m=p.m, b=p.b,
-                row_cap=self.skl_row_cap, l_buf=packer.l_buf)
+                row_cap=self.skl_row_cap, l_buf=packer.l_buf,
+                useful=packer.useful)
             self.skl = out[0]
-            jax.block_until_ready(out[6])
+            jax.block_until_ready(out[5])
         if n_bases_estimate and int(self.skl.n_rows) == 0:
             # Pre-load the FINALIZE executables too: on the tunneled
             # runtime every program pays a multi-second per-process
@@ -212,11 +217,13 @@ class Brisk:
     # -- fused sequence-parallel insertion (k <= 32) -------------------------
 
     def _insert_windowed(self, records) -> None:
-        """Producer thread packs windows and STAGES them on-device
-        (np.stack + the ~13 MB/s tunnel H2D) while the main thread
-        dispatches device programs and retires completed flushes — the
-        serial pack->transfer->dispatch loop left ~1 s/50 Mb of the
-        pipeline idle.
+        """FLAT transport (round 5): the producer thread runs pack_flat
+        (one aligned copy per record + one vectorized pack4 per flush)
+        and STAGES the contiguous chunk on-device; the device builds the
+        overlapping window lanes itself (pipeline.insert_flat_sklnative).
+        Round 4 materialized every window on host — a ~119k-iteration
+        Python copy loop per 50 Mb that was the measured insert wall
+        (BASELINE.md round-4 sink #1).
 
         k > 32 routes to the exact streaming path instead: the
         truncation quirk starves the windowed equality certificate
@@ -238,29 +245,12 @@ class Brisk:
         q = queue.Queue(maxsize=2)
         err = []
 
-        def stage(batches):
-            codes4 = np.stack([bt.codes4 for bt in batches])
-            vs = np.stack([bt.valid_start for bt in batches])
-            ve = np.stack([bt.valid_end for bt in batches])
-            return (batches, jnp.asarray(codes4), jnp.asarray(vs),
-                    jnp.asarray(ve))
-
         def producer():
             try:
-                pending = []
-                for bt in packer.pack(records):
-                    pending.append(bt)
-                    if len(pending) == S:
-                        q.put(stage(pending))
-                        pending = []
-                if pending:
-                    while len(pending) < S:  # pad to the compiled shape
-                        pending.append(windows.WinBatch(
-                            np.zeros((B, packer.l_buf4), np.uint8),
-                            np.zeros(B, np.int32), np.zeros(B, np.int32),
-                            0, 0, np.full(B, -1, np.int64),
-                            np.zeros(B, np.int32), packer.l_buf))
-                    q.put(stage(pending))
+                for fl in packer.pack_flat(records, S):
+                    q.put((fl, jnp.asarray(fl.chunk4),
+                           jnp.asarray(fl.valid_start.reshape(S, B)),
+                           jnp.asarray(fl.valid_end.reshape(S, B))))
             except BaseException as e:  # surface in the consumer
                 err.append(e)
             finally:
@@ -321,44 +311,55 @@ class Brisk:
             flush(pending)
         self._drain()
 
-    def _dispatch_flush(self, packer, batches, codes4_d, vs_d, ve_d
+    def _dispatch_flush(self, packer, flush, chunk4_d, vs_d, ve_d
                         ) -> None:
-        """Launch one PRE-STAGED window stack on the device; bookkeeping
+        """Launch one PRE-STAGED flat chunk on the device; bookkeeping
         (counters, certificate repairs, overflow re-runs) is deferred to
         _retire so host packing overlaps device compute (VERDICT r2
-        item 1). codes4_d/vs_d/ve_d are already device-resident (the
+        item 1). chunk4_d/vs_d/ve_d are already device-resident (the
         producer thread staged them)."""
         p = self.params
-        S, B = len(batches), self.batch
+        S, B = self.stack, self.batch
         flush_rows = S * B * self.skl_row_cap
         if self._rows_ub + flush_rows > self.skl.bucket.shape[0]:
             self._drain()  # exact n_rows; grow only if truly needed
             self.skl = sklstore.ensure_room(self.skl, flush_rows)
-        (self.skl, n_sk, n_km, cert, ends, ovf,
-         n_rows_after, self._chain) = pipeline.insert_windows_sklnative(
-            self.skl, codes4_d, vs_d, ve_d, self._chain,
+        (self.skl, n_sk, n_km, flags, ends,
+         n_rows_after, self._chain) = pipeline.insert_flat_sklnative(
+            self.skl, chunk4_d, vs_d, ve_d, self._chain,
             k=p.k, m=p.m, b=p.b,
-            row_cap=self.skl_row_cap, l_buf=packer.l_buf)
+            row_cap=self.skl_row_cap, l_buf=packer.l_buf,
+            useful=packer.useful)
         self._rows_ub += flush_rows
         self._dirty = True
         self._expanded = None
-        # pack cert+ovf into ONE small device array: retire then pays a
-        # single ~16 KB transfer instead of several round-trips on the
-        # high-latency tunnel link
-        flags = cert.astype(jnp.uint8) | (ovf.astype(jnp.uint8) << 1)
-        self._pending.append(dict(batches=batches, flags=flags, ends=ends,
+        # cert+ovf arrive packed IN-PROGRAM (round 5: an eager astype/or
+        # here cost ~130 ms of tiny-op tunnel dispatches per flush);
+        # retire pays a single ~16 KB transfer for them
+        self._pending.append(dict(flush=flush, flags=flags, ends=ends,
                                   n_sk=n_sk, n_km=n_km, packer=packer))
         if len(self._pending) > _INFLIGHT_DEPTH:
             self._retire(self._pending.pop(0))
 
     def _drain(self) -> None:
         if self._pending:
-            # ONE transfer for every pending flush's cert/ovf flags
-            # (per-flush np.asarray cost a tunnel round-trip each)
-            all_flags = jax.device_get([r["flags"] for r in self._pending])
-            pending, self._pending = self._pending, []
-            for rec, fl in zip(pending, all_flags):
+            # ONE transfer for every pending flush's cert/ovf flags AND
+            # counter scalars AND the final row count — each separate
+            # device_get costs a full tunnel round-trip (~0.1 s each,
+            # measured round 5)
+            recs, self._pending = self._pending, []
+            flags_l, counts_l, n_rows = jax.device_get(
+                ([r["flags"] for r in recs],
+                 [(r["n_sk"], r["n_km"]) for r in recs],
+                 self.skl.n_rows))
+            n_appended0 = self._n_repair_appends
+            for rec, fl, cnt in zip(recs, flags_l, counts_l):
+                rec["counts_np"] = cnt
                 self._retire(rec, np.asarray(fl))
+            self._settle_counts()
+            if self._n_repair_appends == n_appended0:
+                self._rows_ub = int(n_rows)  # no repair rows: prefetched
+                return
         self._settle_counts()
         self._rows_ub = int(self.skl.n_rows)
 
@@ -388,16 +389,21 @@ class Brisk:
         repair storm (VERDICT r2 item 4 'repair-all fallback that still
         batches windows')."""
         packer = rec["packer"]
-        batches = rec["batches"]
-        S, B = len(batches), self.batch
-        self._count_acc.append((rec["n_sk"], rec["n_km"],
-                                sum(bt.n_records for bt in batches)))
+        flush = rec["flush"]
+        S, B = self.stack, self.batch
+        if "counts_np" in rec:  # batched drain prefetched the scalars
+            n_sk, n_km = rec["counts_np"]
+            self.n_superkmers += int(n_sk) + flush.n_records
+            self.n_emitted += int(n_km)
+        else:
+            self._count_acc.append((rec["n_sk"], rec["n_km"],
+                                    flush.n_records))
 
         flags = (np.asarray(rec["flags"]) if flags_np is None
                  else flags_np).reshape(-1)
         cert_f = (flags & 1).astype(bool)
-        rec_f = np.concatenate([bt.rec for bt in batches])
-        win_f = np.concatenate([bt.win for bt in batches])
+        rec_f = flush.rec
+        win_f = flush.win
         failed = np.nonzero((~cert_f) & (rec_f >= 0))[0]
         repaired_ends = {}
         ends_cache = []
@@ -455,7 +461,7 @@ class Brisk:
                 self._degrade(f"no exact repair seed for record {r} "
                               f"window {w}; window-local replay")
                 repaired_ends[j0] = self._repair_window_unchained(
-                    batches, j0)
+                    flush, j0)
                 self.n_repaired_windows += 1
                 if run[1:]:
                     checked.append(run[1:])
@@ -472,7 +478,7 @@ class Brisk:
             carries = [self._prev_tail[2]() if r[0] == 0
                        else end_of(r[0] - 1)
                        for r in ready]
-            end7s = self._repair_runs(packer, batches, ready, carries)
+            end7s = self._repair_runs(packer, flush, ready, carries)
             for r, e7 in zip(ready, end7s):
                 repaired_ends[r[-1]] = e7
             self.n_repaired_windows += sum(len(r) for r in ready)
@@ -489,12 +495,10 @@ class Brisk:
 
         # skl segmentation overflow (certified lanes with more super-k-mers
         # than the fused row budget): rebuild their skl rows at full width
-        if True:  # skl segmentation overflow lanes
-            ovf_f = (flags >> 1).astype(bool)
-            for j in np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]:
-                s, lane = divmod(int(j), B)
-                self._repair_skl_overflow(batches[s], lane)
-                self.n_skl_overflows += 1
+        ovf_f = (flags >> 1).astype(bool)
+        for j in np.nonzero(ovf_f & cert_f & (rec_f >= 0))[0]:
+            self._repair_skl_overflow(flush, int(j))
+            self.n_skl_overflows += 1
 
     def _append_skl_from_emissions(self, em, valid, first_valid,
                                    row_cap: int) -> None:
@@ -517,6 +521,7 @@ class Brisk:
         self.skl = sklstore.append(self.skl, jnp.asarray(rb_f[live]),
                                    jnp.asarray(rm_f), jnp.asarray(rn_f))
         self._rows_ub += n_live
+        self._n_repair_appends += 1
         self._dirty = True
         self._expanded = None
 
@@ -528,7 +533,7 @@ class Brisk:
         self.n_degraded_windows += 1
         print(f"[brisk_tpu] degraded repair: {msg}", file=sys.stderr)
 
-    def _repair_window_unchained(self, batches, j):
+    def _repair_window_unchained(self, flush, j):
         """Window-local fresh replay for one failed lane whose exact
         predecessor state is unavailable: re-run the lane standalone
         exactly as the fused program would have (fresh init + warm-up
@@ -537,12 +542,10 @@ class Brisk:
         equal-hash repeats spanning the window seam. Returns the lane's
         replayed end-state 7-tuple (used to seed successors)."""
         p = self.params
-        B = self.batch
-        s, lane = divmod(int(j), B)
-        bt = batches[s]
-        codes1 = jnp.asarray(bt.codes[lane][None, :])
-        vs1 = jnp.asarray([int(bt.valid_start[lane])], dtype=jnp.int32)
-        ve1 = jnp.asarray([int(bt.valid_end[lane])], dtype=jnp.int32)
+        j = int(j)
+        codes1 = jnp.asarray(flush.codes[j][None, :])
+        vs1 = jnp.asarray([int(flush.valid_start[j])], dtype=jnp.int32)
+        ve1 = jnp.asarray([int(flush.valid_end[j])], dtype=jnp.int32)
         em, _ = enum_ops.enumerate_batch(
             codes1, jnp.ones(1, bool), ve1, enum_ops.zero_carry(1),
             k=p.k, m=p.m, b=p.b, valid_start=vs1)
@@ -586,14 +589,15 @@ class Brisk:
                         np.uint32(f_hh[i, idx]), np.uint32(f_hl[i, idx])))
         return out
 
-    def _repair_skl_overflow(self, bt, lane) -> None:
+    def _repair_skl_overflow(self, flush, j) -> None:
         """Re-run one certified lane's skl segmentation at full row width
         (its per-kmer emissions were counted by the fused program but its
         rows were withheld)."""
         p = self.params
-        codes1 = jnp.asarray(bt.codes[lane][None, :])
-        vs1 = jnp.asarray([int(bt.valid_start[lane])], dtype=jnp.int32)
-        ve1 = jnp.asarray([int(bt.valid_end[lane])], dtype=jnp.int32)
+        j = int(j)
+        codes1 = jnp.asarray(flush.codes[j][None, :])
+        vs1 = jnp.asarray([int(flush.valid_start[j])], dtype=jnp.int32)
+        ve1 = jnp.asarray([int(flush.valid_end[j])], dtype=jnp.int32)
         em, _ = enum_ops.enumerate_batch(
             codes1, jnp.ones(1, bool), ve1, enum_ops.zero_carry(1),
             k=p.k, m=p.m, b=p.b, valid_start=vs1)
@@ -603,7 +607,7 @@ class Brisk:
         first_valid = pos == vs1[:, None].astype(jnp.uint32)
         self._append_skl_from_emissions(em, em.valid, first_valid, L_out)
 
-    def _repair_runs(self, packer, batches, runs, carries):
+    def _repair_runs(self, packer, flush, runs, carries):
         """Exact re-run of runs of consecutive failed windows through the
         streaming carry path. Each run covers a CONTIGUOUS genome span
         (window w+1 overlaps w by l_buf-useful bases), so the whole run
@@ -616,7 +620,6 @@ class Brisk:
         each run's LAST window."""
         p = self.params
         warmup, useful, l_buf = packer.warmup, packer.useful, packer.l_buf
-        B = self.batch
         R = len(runs)
         Rp = 1 << max(2, (R - 1).bit_length())
         # span padded to a pow2 so the repair program compiles per shape
@@ -629,18 +632,15 @@ class Brisk:
         ve = np.zeros(Rp, dtype=np.int32)
         carry_np = [np.zeros(Rp, dtype=np.asarray(c).dtype)
                     for c in enum_ops.zero_carry(1)]
+        win_codes = flush.codes
         for i, (run, c7) in enumerate(zip(runs, carries)):
-            s0, lane0 = divmod(run[0], B)
             pos = l_buf - warmup
-            codes[i, :pos] = batches[s0].codes[lane0][warmup:]
+            codes[i, :pos] = win_codes[run[0]][warmup:]
             for j in run[1:]:
-                s, lane = divmod(j, B)
-                codes[i, pos:pos + useful] = \
-                    batches[s].codes[lane][l_buf - useful:]
+                codes[i, pos:pos + useful] = win_codes[j][l_buf - useful:]
                 pos += useful
-            s_l, lane_l = divmod(run[-1], B)
             ve[i] = (len(run) - 1) * useful + \
-                int(batches[s_l].valid_end[lane_l]) - warmup
+                int(flush.valid_end[run[-1]]) - warmup
             for f in range(7):
                 carry_np[f][i] = c7[f]
         carry = enum_ops.MinimizerState(*(jnp.asarray(x)

@@ -179,37 +179,12 @@ def _unpack4_device(codes4: jnp.ndarray, l_buf: int) -> jnp.ndarray:
     return un.reshape(c.shape[0], -1)[:, :l_buf]
 
 
-@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap", "l_buf"),
-         donate_argnums=(0,))
-def insert_windows_sklnative(skl, codes: jnp.ndarray,
-                             valid_start: jnp.ndarray,
-                             valid_end: jnp.ndarray, chain,
-                             k: int, m: int, b: int,
-                             row_cap: int, l_buf: int = 0):
-    """THE product insert program (k <= 32): sequence-parallel window
-    stack -> compacted super-k-mer rows ONLY. No per-k-mer store — the skl
-    arena IS the index (the reference's Bucket<DATA> stores nothing but
-    SKL records + arenas either, buckets.hpp:19-58); per-k-mer counts are
-    consolidated lazily by sklstore.finalize.
-
-    Each batch: enumerate -> segment into super-k-mer rows (up to row_cap
-    per lane) -> flush-global live-first sort -> DENSE append (the arena
-    never holds tombstones; round 2's per-flush compress_rows full sorts
-    are gone, VERDICT r2 item 1).
-
-    `chain` threads the window-continuity equality certificate across
-    batches AND flushes (see _chain_exact / zero_chain) — all device
-    values, no host sync. Returns (skl', n_sk, n_km, cert, ends,
-    skl_overflow, n_rows_after, chain'). n_sk counts super-k-mer
-    boundaries (for stats parity), NOT rows. n_rows_after is a FRESH
-    scalar (safe to read back after the returned skl has been donated to
-    the next flush). Preconditions: skl donated; skl.n_rows + S*B*row_cap
-    <= rcap for EVERY step of the stack (host tracks an upper bound and
-    grows ahead of time).
-
-    codes is PACKED (S, B, l_buf4) uint8 (io.windows.pack4) when l_buf>0
-    is passed; legacy unpacked (S, B, L_buf) input is accepted with
-    l_buf=0 (tests)."""
+def _skl_window_scan(skl, codes: jnp.ndarray, valid_start: jnp.ndarray,
+                     valid_end: jnp.ndarray, chain,
+                     k: int, m: int, b: int, row_cap: int, l_buf: int):
+    """Shared scan body of the windowed skl insert programs (see
+    insert_windows_sklnative for the contract). codes is (S, B, l_buf4)
+    packed when l_buf > 0, else (S, B, L_buf) unpacked."""
     from brisk_tpu.index import sklstore
 
     S, B, _L = codes.shape
@@ -247,12 +222,92 @@ def insert_windows_sklnative(skl, codes: jnp.ndarray,
                                n_live)
         n_sk = jnp.sum(em.boundary & ok).astype(jnp.int32)
         n_km = jnp.sum(ok).astype(jnp.int32)
-        return (sk, ch), (n_sk, n_km, exact, end, ovf)
+        # cert+overflow packed IN-PROGRAM: an eager `cert | ovf << 1`
+        # after the call cost 3 tiny op dispatches = ~130 ms of tunnel
+        # round-trips PER FLUSH (measured round 5; it was the whole gap
+        # between the 60 ms/flush device rate and the 190 ms/flush e2e)
+        flags = exact.astype(jnp.uint8) | (ovf.astype(jnp.uint8) << 1)
+        return (sk, ch), (n_sk, n_km, flags, end)
 
-    (skl, chain), (n_sks, n_kms, certs, ends, ovfs) = jax.lax.scan(
+    (skl, chain), (n_sks, n_kms, flags, ends) = jax.lax.scan(
         step, (skl, chain), (codes, valid_start, valid_end))
-    return (skl, jnp.sum(n_sks), jnp.sum(n_kms), certs, ends, ovfs,
+    return (skl, jnp.sum(n_sks), jnp.sum(n_kms), flags, ends,
             skl.n_rows + jnp.int32(0), chain)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "m", "b", "row_cap", "l_buf", "useful"),
+         donate_argnums=(0,))
+def insert_flat_sklnative(skl, chunk4: jnp.ndarray,
+                          valid_start: jnp.ndarray,
+                          valid_end: jnp.ndarray, chain,
+                          k: int, m: int, b: int,
+                          row_cap: int, l_buf: int, useful: int):
+    """THE product insert program (k <= 32, round 5): ships ONE contiguous
+    packed chunk per flush and builds the overlapping window lanes
+    ON-DEVICE — each base crosses the ~13-20 MB/s host->device tunnel
+    exactly once, and the host never runs the per-window copy loop that
+    was round 4's insert wall (VERDICT r4 item 1; reference e2e identity:
+    counter.cpp:375-404).
+
+    chunk4:      ((S*B + ext) * useful4,) uint8 — packed 2-bit codes,
+                 window j of the flush at byte offset j*useful4
+                 (io.windows.WindowPacker.pack_flat)
+    valid_start: (S, B) int32; valid_end: (S, B) int32
+
+    Window construction is gather-free: the chunk reshapes into
+    useful4-wide rows and the l_buf4-wide overlapping windows are
+    `nparts` statically-shifted row slices concatenated along the byte
+    axis. Returns the insert_windows_sklnative tuple:
+    (skl', n_sk, n_km, flags (S, B) u8 [bit0 = certified, bit1 = skl row
+    overflow], ends, n_rows_after, chain')."""
+    S, B = valid_start.shape
+    SB = S * B
+    u4 = useful // 4
+    lb4 = -(-l_buf // 4)
+    nparts = -(-lb4 // u4)
+    rows = chunk4.reshape(SB + nparts - 1, u4)
+    win4 = jnp.concatenate([rows[s:s + SB] for s in range(nparts)],
+                           axis=1)[:, :lb4]
+    codes = win4.reshape(S, B, lb4)
+    return _skl_window_scan(skl, codes, valid_start, valid_end, chain,
+                            k=k, m=m, b=b, row_cap=row_cap, l_buf=l_buf)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "row_cap", "l_buf"),
+         donate_argnums=(0,))
+def insert_windows_sklnative(skl, codes: jnp.ndarray,
+                             valid_start: jnp.ndarray,
+                             valid_end: jnp.ndarray, chain,
+                             k: int, m: int, b: int,
+                             row_cap: int, l_buf: int = 0):
+    """THE product insert program (k <= 32): sequence-parallel window
+    stack -> compacted super-k-mer rows ONLY. No per-k-mer store — the skl
+    arena IS the index (the reference's Bucket<DATA> stores nothing but
+    SKL records + arenas either, buckets.hpp:19-58); per-k-mer counts are
+    consolidated lazily by sklstore.finalize.
+
+    Each batch: enumerate -> segment into super-k-mer rows (up to row_cap
+    per lane) -> flush-global live-first sort -> DENSE append (the arena
+    never holds tombstones; round 2's per-flush compress_rows full sorts
+    are gone, VERDICT r2 item 1).
+
+    `chain` threads the window-continuity equality certificate across
+    batches AND flushes (see _chain_exact / zero_chain) — all device
+    values, no host sync. Returns (skl', n_sk, n_km, flags (S, B) u8
+    [bit0 = certified, bit1 = skl row overflow], ends, n_rows_after,
+    chain'). n_sk counts super-k-mer
+    boundaries (for stats parity), NOT rows. n_rows_after is a FRESH
+    scalar (safe to read back after the returned skl has been donated to
+    the next flush). Preconditions: skl donated; skl.n_rows + S*B*row_cap
+    <= rcap for EVERY step of the stack (host tracks an upper bound and
+    grows ahead of time).
+
+    codes is PACKED (S, B, l_buf4) uint8 (io.windows.pack4) when l_buf>0
+    is passed; legacy unpacked (S, B, L_buf) input is accepted with
+    l_buf=0 (tests)."""
+    return _skl_window_scan(skl, codes, valid_start, valid_end, chain,
+                            k=k, m=m, b=b, row_cap=row_cap, l_buf=l_buf)
 
 
 @partial(jax.jit, static_argnames=("k", "m", "b", "row_cap"),

@@ -28,19 +28,19 @@ def main():
     packer = windows.WindowPacker(k, m, batch=B, l_out=W)
     rng = np.random.default_rng(7)
     rec = rng.integers(0, 4, 8_000_000, dtype=np.uint8)
-    bts = list(packer.pack(iter([rec])))[:S]
-    st = (jnp.asarray(np.stack([x.codes4 for x in bts])),
-          jnp.asarray(np.stack([x.valid_start for x in bts])),
-          jnp.asarray(np.stack([x.valid_end for x in bts])))
+    fl = next(packer.pack_flat(iter([rec]), S))
+    st = (jnp.asarray(fl.chunk4),
+          jnp.asarray(fl.valid_start.reshape(S, B)),
+          jnp.asarray(fl.valid_end.reshape(S, B)))
     _, _, _, nw = sklstore.skl_dims(k, m, b)
     skl = sklstore.empty(1 << 23, 1 << 14, nw)
     chain = pipeline.zero_chain()
 
     def flush(sk, ch):
-        o = pipeline.insert_windows_sklnative(
+        o = pipeline.insert_flat_sklnative(
             sk, st[0], st[1], st[2], ch, k=k, m=m, b=b,
-            row_cap=row_cap, l_buf=packer.l_buf)
-        return o[0], o[7], o[6]
+            row_cap=row_cap, l_buf=packer.l_buf, useful=packer.useful)
+        return o[0], o[6], o[5]
 
     skl, chain, nr = flush(skl, chain)  # compile outside the trace
     int(nr)

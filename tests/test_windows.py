@@ -169,23 +169,23 @@ def test_poisoned_window_degrades_not_dies(monkeypatch):
     k, m, b = 31, 11, 8
     seq = rand_seq(1500)
     br = Brisk(Parameters(k=k, m=m, b=b), batch=4, window=96, stack=2)
-    orig = pl.insert_windows_sklnative
+    orig = pl.insert_flat_sklnative
     calls = []
 
-    def poisoned(skl, codes, vs, ve, chain, **kw):
+    def poisoned(skl, chunk4, vs, ve, chain, **kw):
         calls.append(1)
         if len(calls) == 2:
             # flush 2 lane (0,0) is a continuation window: suppress its
             # emissions in-program (a REAL cert failure withholds them)
             ve = jnp.asarray(np.asarray(ve)).at[0, 0].set(0)
-        out = orig(skl, codes, vs, ve, chain, **kw)
+        out = orig(skl, chunk4, vs, ve, chain, **kw)
         if len(calls) <= 2:
-            cert = np.array(out[3])  # writable copy
-            cert[0, 0] = False  # flush 1: window-0 lane; flush 2: cont.
-            out = out[:3] + (jnp.asarray(cert),) + out[4:]
+            flags = np.array(out[3])  # writable copy (u8: bit0 = cert)
+            flags[0, 0] &= 0xFE  # flush 1: window-0 lane; flush 2: cont.
+            out = out[:3] + (jnp.asarray(flags),) + out[4:]
         return out
 
-    monkeypatch.setattr(pl, "insert_windows_sklnative", poisoned)
+    monkeypatch.setattr(pl, "insert_flat_sklnative", poisoned)
     orig_retire = Brisk._retire
 
     def retire_break_chain(self, rec, flags_np=None):
@@ -201,6 +201,124 @@ def test_poisoned_window_degrades_not_dies(monkeypatch):
         exp[rec.kmer] = (exp.get(rec.kmer, 0) + 1) % 256
     assert br.counts_dict() == exp
     assert br.n_degraded_windows >= 2  # both degrade paths taken
+
+
+def test_pack_flat_matches_pack():
+    """The flat transport's device-built windows must equal the host-
+    materialized ones of WindowPacker.pack: same codes over [0, ve),
+    same valid_start/valid_end/rec/win per window slot."""
+    k, m = 31, 11
+    B, S = 4, 2
+    records = [rand_seq(700), rand_seq(31), rand_seq(35), rand_seq(1500),
+               rand_seq(64)]
+    recs_np = [to_codes(r) for r in records]
+    packer = WindowPacker(k, m, batch=B, l_out=112)
+    old = list(packer.pack(iter(recs_np)))
+    flushes = list(packer.pack_flat(iter(recs_np), S))
+    # flat packing may interleave DEAD gap slots (vs=ve=0, rec=-1) after
+    # a record whose last-window tail overflows its aligned span;
+    # compare the LIVE windows, whose order must match exactly
+    flat_rec0 = np.concatenate([fl.rec for fl in flushes])
+    live_f = flat_rec0 >= 0
+    flat_codes = np.concatenate([fl.codes for fl in flushes])[live_f]
+    flat_vs = np.concatenate([fl.valid_start for fl in flushes])[live_f]
+    flat_ve = np.concatenate([fl.valid_end for fl in flushes])[live_f]
+    flat_rec = flat_rec0[live_f]
+    flat_win = np.concatenate([fl.win for fl in flushes])[live_f]
+    old_rec0 = np.concatenate([bt.rec for bt in old])
+    live_o = old_rec0 >= 0
+    old_codes = np.concatenate([bt.codes for bt in old])[live_o]
+    old_vs = np.concatenate([bt.valid_start for bt in old])[live_o]
+    old_ve = np.concatenate([bt.valid_end for bt in old])[live_o]
+    old_rec = old_rec0[live_o]
+    old_win = np.concatenate([bt.win for bt in old])[live_o]
+    assert np.array_equal(flat_rec, old_rec)
+    assert np.array_equal(flat_win, old_win)
+    assert np.array_equal(flat_vs, old_vs)
+    assert np.array_equal(flat_ve, old_ve)
+    # dead slots must emit nothing
+    dead_ve = np.concatenate([fl.valid_end for fl in flushes])[~live_f]
+    assert np.all(dead_ve == 0)
+    for j in range(len(flat_rec)):
+        e = flat_ve[j]
+        assert np.array_equal(flat_codes[j][:e], old_codes[j][:e]), j
+    assert sum(fl.n_kmers for fl in flushes) == \
+        sum(bt.n_kmers for bt in old)
+    assert sum(fl.n_records for fl in flushes) == \
+        sum(bt.n_records for bt in old)
+
+
+def test_insert_flat_matches_insert_windows():
+    """pipeline.insert_flat_sklnative (device-side window build) must
+    produce the same arena rows, counters, certs and chain as
+    insert_windows_sklnative fed the host-materialized windows."""
+    from brisk_tpu.index import sklstore
+    from brisk_tpu.io.windows import pack4
+    k, m, b = 31, 11, 8
+    B, S = 4, 2
+    records = [rand_seq(900), rand_seq(500), rand_seq(64)]
+    recs_np = [to_codes(r) for r in records]
+    packer = WindowPacker(k, m, batch=B, l_out=112)
+    row_cap = 32
+    _, _, _, nw = sklstore.skl_dims(k, m, b)
+
+    def run_flat():
+        skl = sklstore.empty(1 << 12, 1 << 10, nw)
+        chain = pipeline.zero_chain()
+        outs = []
+        for fl in packer.pack_flat(iter(recs_np), S):
+            (skl, n_sk, n_km, flags, _e, nr,
+             chain) = pipeline.insert_flat_sklnative(
+                skl, jnp.asarray(fl.chunk4),
+                jnp.asarray(fl.valid_start.reshape(S, B)),
+                jnp.asarray(fl.valid_end.reshape(S, B)), chain,
+                k=k, m=m, b=b, row_cap=row_cap, l_buf=packer.l_buf,
+                useful=packer.useful)
+            outs.append((int(n_sk), int(n_km), np.asarray(flags).copy()))
+        return skl, outs
+
+    def run_stacked():
+        skl = sklstore.empty(1 << 12, 1 << 10, nw)
+        chain = pipeline.zero_chain()
+        outs = []
+        pending = list(packer.pack(iter(recs_np)))
+        while len(pending) % S:
+            pending.append(pending[-1].__class__(
+                np.zeros((B, packer.l_buf4), np.uint8),
+                np.zeros(B, np.int32), np.zeros(B, np.int32), 0, 0,
+                np.full(B, -1, np.int64), np.zeros(B, np.int32),
+                packer.l_buf))
+        for i in range(0, len(pending), S):
+            sts = pending[i:i + S]
+            (skl, n_sk, n_km, flags, _e, nr,
+             chain) = pipeline.insert_windows_sklnative(
+                skl, jnp.asarray(np.stack([x.codes4 for x in sts])),
+                jnp.asarray(np.stack([x.valid_start for x in sts])),
+                jnp.asarray(np.stack([x.valid_end for x in sts])), chain,
+                k=k, m=m, b=b, row_cap=row_cap, l_buf=packer.l_buf)
+            outs.append((int(n_sk), int(n_km), np.asarray(flags).copy()))
+        return skl, outs
+
+    skl_f, outs_f = run_flat()
+    skl_s, outs_s = run_stacked()
+    nf, ns = int(skl_f.n_rows), int(skl_s.n_rows)
+    assert nf == ns
+    # the flat packing inserts dead gap slots, shifting windows across
+    # batch/flush boundaries — totals must match but per-flush splits
+    # and arena row ORDER may differ: compare the row MULTISET
+    assert sum(o[0] for o in outs_f) == sum(o[0] for o in outs_s)
+    assert sum(o[1] for o in outs_f) == sum(o[1] for o in outs_s)
+
+    def row_set(skl, n):
+        bu = np.asarray(skl.bucket)[:n]
+        me = np.asarray(skl.meta)[:n]
+        nu = np.asarray(skl.nucs)[:, :n]
+        rows = [tuple([int(bu[i]), int(me[i])]
+                      + [int(nu[w, i]) for w in range(nu.shape[0])])
+                for i in range(n)]
+        return sorted(rows)
+
+    assert row_set(skl_f, nf) == row_set(skl_s, ns)
 
 
 def test_insert_windows_count_parity():
