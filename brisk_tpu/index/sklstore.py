@@ -809,6 +809,99 @@ def _offs_total(bucket, meta, n_rows):
     return offs, (csum[-1]).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max", "R_pad"),
+         donate_argnums=(0, 1, 2, 4))
+def _finalize_fresh_fused(bucket, meta, nucs, n_rows, offs,
+                          k: int, m: int, b: int, s_max: int, R_pad: int):
+    """ONE device program for the dominant finalize case: the whole arena
+    is fresh (f == 0 — the post-ingest finalize). Fuses what used
+    to be 5 dispatches (tail sort, strided expand, consolidate sort,
+    back-sort, offs) with 3 scalar readbacks in between; on the tunneled
+    runtime each dispatch/readback is a ~0.1-0.2 s round-trip and the
+    multi-buffer scan-carry expand copied its output buffers every step
+    (measured 1.36 s for work whose HBM traffic is ~20 ms at
+    speed-of-light).
+
+    Key cost cuts vs the unfused path:
+      * expand emits via lax.scan YS stacking (J-major), never a carry
+        copy;
+      * ONE u32 tag orders everything (row*s_max+j is the arena slot
+        order after the in-program bucket sort; dead = 0xFFFFFFFF) —
+        the old (hi, lo) pair moved 2 words through both sorts;
+      * fresh slots all carry count 1, so the consolidate sort carries
+        NO count operand (derived from tag != INVALID);
+      * counts stay at S2 width (no total_k-shaped slice program).
+
+    Returns (bucket', meta', nucs', offs', data (S2,), n_live_rows,
+    total_k). Rows beyond R_pad are untouched (caller guarantees
+    n_rows <= R_pad <= rcap)."""
+    W = store.key_words(k, b)
+    nw = nucs.shape[0]
+    S2 = R_pad * s_max
+    iota = jnp.arange(R_pad, dtype=U32)
+    in_rows = iota < n_rows.astype(U32)
+
+    # 1) bucket-group the rows (stable in arena order); INVALID rows last
+    b_t = jax.lax.dynamic_slice(bucket, (jnp.int32(0),), (R_pad,))
+    m_t = jax.lax.dynamic_slice(meta, (jnp.int32(0),), (R_pad,))
+    n_t = jax.lax.dynamic_slice(nucs, (jnp.int32(0), jnp.int32(0)),
+                                (nw, R_pad))
+    b_t = jnp.where(in_rows, b_t, _INVALID)
+    srt = jax.lax.sort((b_t, iota, m_t) + tuple(n_t[i] for i in range(nw)),
+                       num_keys=2)
+    sb, sm = srt[0], srt[2]
+    sn = jnp.stack(srt[3:])
+    n_live = jnp.sum(sb != _INVALID).astype(jnp.int32)
+
+    # 2) expand each row's k-mers to packed keys, J-major via scan ys
+    nucs_t = _nucs_tuple(sb, sn)
+
+    def step(_, J):
+        keys, ok = _expand_one_j(sb, sm, nucs_t, J, k, m, b)
+        keys = jnp.where(ok[None, :], keys, _INVALID)
+        tag = jnp.where(ok, iota * U32(s_max) + J, _INVALID)
+        return None, (keys, tag)
+
+    _, (jk, jtag) = jax.lax.scan(step, None,
+                                 jnp.arange(s_max, dtype=U32))
+    keys = jnp.moveaxis(jk, 0, 1).reshape(W, S2)   # (W, S2) J-major
+    tag = jtag.reshape(S2)
+
+    # 3) consolidate: sort by key (tag rides along), run totals on one
+    # slot per run, back-sort by tag -> arena slot order
+    out = jax.lax.sort(tuple(keys[i] for i in range(W)) + (tag,),
+                       num_keys=W)
+    s_tag = out[W]
+    live_s = s_tag != _INVALID
+    first = jnp.zeros(S2, dtype=bool).at[0].set(True)
+    neq = jnp.zeros(S2, dtype=bool)
+    for i in range(W):
+        neq = neq | (out[i] != jnp.roll(out[i], 1))
+    first = first | neq
+    cnt = live_s.astype(U32)
+    csum = jnp.cumsum(cnt, dtype=jnp.uint32)
+    is_last = jnp.roll(first, -1).at[-1].set(True)
+    last_csum = jax.lax.cummin(
+        jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
+    totals = jnp.where(first & live_s, last_csum - (csum - cnt), 0)
+    back = jax.lax.sort((s_tag, totals), num_keys=1)
+    data = back[1]
+
+    # 4) offs + total over the sorted live prefix
+    sizes = jnp.where(sb != _INVALID, sm & U32(0xFF), 0)
+    csz = jnp.cumsum(sizes, dtype=jnp.uint32)
+    offs_new = jnp.where(sb != _INVALID, csz - sizes, 0).astype(U32)
+    total_k = csz[-1].astype(jnp.int32)
+
+    # 5) write the sorted rows back into the donated arena prefix
+    z = jnp.int32(0)
+    bucket = jax.lax.dynamic_update_slice(bucket, sb, (z,))
+    meta = jax.lax.dynamic_update_slice(meta, sm, (z,))
+    nucs = jax.lax.dynamic_update_slice(nucs, sn, (z, z))
+    offs = jax.lax.dynamic_update_slice(offs, offs_new, (z,))
+    return bucket, meta, nucs, offs, data, n_live, total_k
+
+
 def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
     """Device-resident finalize: consolidate duplicate k-mer counts,
     bucket-group the fresh row tail — everything in HBM; the host reads
@@ -833,6 +926,24 @@ def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
         return empty(state.bucket.shape[0], state.data.shape[0], nw)
     if N == F:
         return state  # fully finalized already (idempotent)
+    if F == 0:
+        # post-ingest finalize: the whole arena is fresh — ONE fused
+        # device program (round 5; the 5-dispatch path below cost ~3x
+        # its device time in tunnel round-trips and scan-carry copies)
+        R_pad = _shape_family(N, floor=1 << 10)
+        assert (R_pad * s_max) < (1 << 32) - 1, "tag32 overflow"
+        if R_pad > state.bucket.shape[0]:
+            state = grow(state, 1 << (R_pad - 1).bit_length(),
+                         state.data.shape[0])
+        bucket, meta, nucs, offs, data, n_live, total_k = \
+            _finalize_fresh_fused(state.bucket, state.meta, state.nucs,
+                                  jnp.int32(N), state.offs,
+                                  k=k, m=m, b=b, s_max=s_max, R_pad=R_pad)
+        nl, tk = jax.device_get((n_live, total_k))
+        return SklState(bucket=bucket, meta=meta, nucs=nucs, data=data,
+                        offs=offs, n_rows=jnp.int32(int(nl)),
+                        n_fin_rows=jnp.int32(int(nl)),
+                        n_fin_kmers=jnp.int32(int(tk)))
     wp = 1 << max(10, (N - F - 1).bit_length())
     if F + wp > state.bucket.shape[0]:
         state = grow(state, 1 << (F + wp - 1).bit_length(),
@@ -1140,6 +1251,38 @@ def query_join_total(state: SklState, qstate_box: list,
     for start in range(0, Sq, CQ):
         qc = qk[:, start:start + CQ]
         ql = qcnt[start:start + CQ]
+        pad = CQ - qc.shape[1]
+        if pad:  # keep one compiled shape per (Si, CQ)
+            qc = jnp.pad(qc, ((0, 0), (0, pad)),
+                         constant_values=np.uint32(0xFFFFFFFF))
+            ql = jnp.pad(ql, (0, pad))
+        part = _query_join_partials(ik, icnt, qc, ql)
+        total += int(np.asarray(part, dtype=np.uint64).sum())
+    return total
+
+
+def query_join_keys_total(state: SklState, qk, qlive,
+                          k: int, m: int, b: int,
+                          chunk: int = 1 << 25) -> int:
+    """Total stored count over a batch of query PACKED KEYS against a
+    FINALIZED arena — the shadow-index-free query path (VERDICT r4
+    item 6): the caller enumerates the query file straight to packed
+    keys; no second arena is built. qk (W, Sq) u32, qlive (Sq,)
+    u32/bool. Chunked over the query slots to bound peak HBM."""
+    ik0, icnt0 = expand_for_join(state, k, m, b)
+    Si = _shape_family(int(state.n_fin_kmers))
+    if Si < ik0.shape[1]:
+        ik = ik0[:, :Si]
+        icnt = icnt0[:Si]
+    else:
+        ik, icnt = ik0, icnt0
+    del ik0, icnt0
+    Sq = qk.shape[1]
+    CQ = min(_shape_family(max(Sq, 1)), chunk)
+    total = 0
+    for start in range(0, Sq, CQ):
+        qc = jnp.asarray(qk[:, start:start + CQ])
+        ql = jnp.asarray(qlive[start:start + CQ]).astype(U32)
         pad = CQ - qc.shape[1]
         if pad:  # keep one compiled shape per (Si, CQ)
             qc = jnp.pad(qc, ((0, 0), (0, pad)),

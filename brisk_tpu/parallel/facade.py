@@ -46,7 +46,7 @@ class ShardedBrisk:
     def __init__(self, params: Parameters, mesh=None, n_devices: int = None,
                  batch_per_shard: int = 64, window: int = 256,
                  stack: int = 4, route_cap: int = None,
-                 capacity: int = 1 << 16):
+                 skl_route_cap: int = None, capacity: int = 1 << 16):
         import brisk_tpu
         brisk_tpu.enable_persistent_cache()  # TPU-only; no-op on CPU
         from brisk_tpu.parallel import multihost
@@ -93,13 +93,11 @@ class ShardedBrisk:
         self.my_shards = my
         self.lane_offset = my[0] * batch_per_shard
         self.my_lanes = len(my) * batch_per_shard
-        if self.multihost:
-            self.state = multihost.sharded_empty_global(
-                self.n_shards, capacity, mesh, self.W)
-        else:
-            self.state = sharded.sharded_empty(self.n_shards, capacity,
-                                               mesh, self.W)
-        self._n_used_ub = 0     # host upper bound on max-shard n_used
+        # ONE index state per shard (round 5, VERDICT r4 item 3): the
+        # per-shard compacted super-k-mer arena below is the ONLY
+        # resident structure, exactly like the single-chip api.Brisk —
+        # the 16 B/kmer packed IndexState this facade double-wrote
+        # through round 4 is gone (serving probes/joins the arenas).
         self.n_emitted = 0      # GLOBAL fused-path emissions + MY repairs
         self.n_superkmers = 0
         self.n_spilled = 0
@@ -114,11 +112,12 @@ class ShardedBrisk:
         self.skl = None
         self._skl_dirty = False
         self._skl_rows_ub = 0   # upper bound on max-shard skl n_rows
+        self._skl_segments = {}  # shard -> [(lo, hi)] bucket-grouped runs
         from brisk_tpu.index import sklstore
         self.skl_row_cap = max(16, self.window // 4)
         # same multinomial sizing as route_cap (skl rows route by the
         # same hashed bucket; spill-to-source covers the tail)
-        self.skl_route_cap = max(
+        self.skl_route_cap = skl_route_cap or max(
             16, 4 * batch_per_shard * self.skl_row_cap
             // self.n_shards)
         _, _, _, nw = sklstore.skl_dims(params.k, params.m, params.b)
@@ -151,27 +150,7 @@ class ShardedBrisk:
             self.skl = sharded.sharded_skl_empty(self.n_shards, rcap,
                                                  1 << 12, nw, mesh)
 
-    # -- capacity (host-enforced; see sharded_insert_windows contract) ------
-
-    def _cap(self) -> int:
-        return self.state.keys.shape[2]
-
-    def _sync_used(self) -> None:
-        self._n_used_ub = int(jnp.max(self.state.n_used))
-
-    def _compact(self) -> None:
-        self.state = sharded.sharded_compact(self.state, self.mesh)
-        self._sync_used()
-
-    def _ensure_room(self, raw_per_shard: int) -> None:
-        if self._n_used_ub + raw_per_shard <= self._cap():
-            return
-        self._compact()
-        cap = self._cap()
-        while self._n_used_ub + raw_per_shard > cap:
-            cap *= 2
-        if cap != self._cap():
-            self.state = sharded.sharded_grow(self.state, cap, self.mesh)
+    # -- capacity (host-enforced; see sharded_insert contract) --------------
 
     def _ensure_skl_room(self, rows_per_shard: int) -> None:
         rcap = self.skl.bucket.shape[1]
@@ -196,13 +175,11 @@ class ShardedBrisk:
                        if i % self.n_proc == self.pid]
         self._insert_windowed(iter(records) if isinstance(records, list)
                               else records)
-        self._compact()
 
     def insert_sequence(self, seq: str) -> None:
         if self.multihost and self.pid != 0:
             seq = ""  # single sequence is owned by process 0
         self._insert_windowed(iter([seq] if seq else []))
-        self._compact()
 
     def _records(self, path: str):
         from brisk_tpu import native
@@ -278,9 +255,6 @@ class ShardedBrisk:
         codes = np.stack([bt.codes for bt in batches])
         vs = np.stack([bt.valid_start for bt in batches])
         ve = np.stack([bt.valid_end for bt in batches])
-        per_flush = S * (self.n_shards * self.route_cap
-                         + self.B_local * packer.l_out)
-        self._ensure_room(per_flush)
         if self.multihost:
             gshape = (S, self.B, packer.l_buf)
             g_codes = multihost.lane_sharded(self.mesh, gshape, codes, 1,
@@ -295,16 +269,15 @@ class ShardedBrisk:
             g_ve = jnp.asarray(ve)
         self._ensure_skl_room(S * (self.n_shards * self.skl_route_cap
                                    + self.B_local * self.skl_row_cap))
-        (self.state, self.skl, n_sk, n_km, n_sp, cert, ends, ovf,
-         self._chain) = sharded.sharded_insert_windows_skl(
-            self.state, self.skl, g_codes, g_vs, g_ve, self._chain,
+        (self.skl, n_sk, n_km, n_sp, cert, ends, ovf,
+         self._chain) = sharded.sharded_insert_windows_sklonly(
+            self.skl, g_codes, g_vs, g_ve, self._chain,
             k=p.k, m=p.m, b=p.b, mesh=self.mesh,
-            route_cap=self.route_cap, row_cap=self.skl_row_cap,
+            row_cap=self.skl_row_cap,
             skl_route_cap=self.skl_route_cap)
         self._skl_rows_ub += S * (self.n_shards * self.skl_route_cap
                                   + self.B_local * self.skl_row_cap)
         self._skl_dirty = True
-        self._n_used_ub += per_flush
         self.n_emitted += int(n_km)
         self.n_spilled += int(n_sp)
         self.n_superkmers += int(n_sk) + sum(bt.n_records for bt in batches)
@@ -327,7 +300,6 @@ class ShardedBrisk:
         win_f = np.concatenate([bt.win for bt in batches])
         failed = np.nonzero((~cert_f) & (rec_f >= 0))[0]
         repaired_ends = {}
-        repaired_rows = []  # host uint32 (N, W) row lists
 
         def end_of(j):
             if j in repaired_ends:
@@ -356,11 +328,10 @@ class ShardedBrisk:
             rest = [r for r in runs if r[0] - 1 in blocked]
             carries = [self._prev_tail[2] if r[0] == 0 else end_of(r[0] - 1)
                        for r in ready]
-            end7s, rows_np, sklrows_np = self._rerun_runs(
+            end7s, sklrows_np = self._rerun_runs(
                 packer, batches, ready, carries)
             for r, e7 in zip(ready, end7s):
                 repaired_ends[r[-1]] = e7
-            repaired_rows.append(rows_np)
             if sklrows_np is not None:
                 repaired_skl.append(sklrows_np)
             self.n_repaired_windows += sum(len(r) for r in ready)
@@ -386,29 +357,19 @@ class ShardedBrisk:
                                                 ovf_lanes))
                 self.n_skl_overflows += len(ovf_lanes)
 
-        if self.multihost:
-            # collective delivery every flush (peers must call in lockstep
-            # even with zero local repairs; skipped inside when the GLOBAL
-            # repair count is zero)
-            allrows = (np.concatenate(repaired_rows, axis=0)
-                       if repaired_rows else
-                       np.zeros((0, self.W), dtype=U32))
-            self._deliver_rows(allrows)
-        elif repaired_rows:
-            allrows = np.concatenate(repaired_rows, axis=0)
-            if len(allrows):
-                self._deliver_rows(allrows)
         skl_all = (np.concatenate(repaired_skl, axis=0)
                    if repaired_skl else
                    np.zeros((0, 2 + self._skl_nw), dtype=U32))
         if self.multihost or len(skl_all):
+            # collective delivery every flush on a multi-process mesh
+            # (peers must call in lockstep even with zero local repairs)
             self._deliver_skl_rows(skl_all)
 
     def _rerun_runs(self, packer, batches, runs, carries):
         """Exact streaming re-run of runs of consecutive failed windows
         (one contiguous genome span per run, one lane per run, one device
         call per pass — see api.Brisk._repair_runs). Returns
-        (end7 per run's LAST window, valid packed-key rows (N, W))."""
+        (end7 per run's LAST window, skl row records (N, 2+nw))."""
         p = self.params
         warmup, useful, l_buf = packer.warmup, packer.useful, packer.l_buf
         B = batches[0].codes.shape[0]  # local lane count
@@ -439,10 +400,7 @@ class ShardedBrisk:
         em, end = enum_ops.enumerate_batch(
             jnp.asarray(codes), jnp.zeros(Rp, bool), jnp.asarray(ve),
             carry, k=p.k, m=p.m, b=p.b)
-        rows = store.make_keys(em.bucket.reshape(-1), em.key.reshape(4, -1),
-                               em.mini_idx.reshape(-1), p.k, p.b)
         valid = np.asarray(em.valid).reshape(-1)
-        rows_np = np.asarray(rows).T[valid]
         sklrows_np = self._skl_rows_np(em, em.valid)
         self.n_emitted += int(valid.sum())
         self.n_superkmers += int(jnp.sum(em.boundary & em.valid))
@@ -469,7 +427,7 @@ class ShardedBrisk:
                           np.uint32(pos_v), np.bool_(rev),
                           np.uint32(heavy), np.uint32(f_hh[i, idx]),
                           np.uint32(f_hl[i, idx])))
-        return end7s, rows_np, sklrows_np
+        return end7s, sklrows_np
 
     def _skl_rows_np(self, em, valid) -> np.ndarray:
         """Full-width skl row assembly for repair/overflow emissions ->
@@ -559,57 +517,19 @@ class ShardedBrisk:
         self._skl_rows_ub += cap_r
         self._skl_dirty = True
 
-    def _deliver_rows(self, rows_np: np.ndarray) -> None:
-        """Route host-built (N, W) packed-key rows to their owner shards
-        via one sharded_append_buf call.
-
-        Multi-host: a process can only materialize its OWN shards'
-        buffer blocks, so its repaired rows go to its own shards as
-        SPILL (ownership is a routing heuristic, not a correctness
-        invariant — lookups sum across shards). Buffer width is
-        synchronized across processes (collective shapes must agree)."""
-        from brisk_tpu.parallel import multihost
-        p = self.params
-        if self.multihost:
-            n_mine = len(self.my_shards)
-            if multihost.process_max(len(rows_np)) == 0:
-                return  # no process repaired anything this flush
-            cap_r = multihost.process_max(
-                -(-max(len(rows_np), 1) // n_mine))
-            local = np.full((n_mine, cap_r, self.W), _INVALID, dtype=U32)
-            for i in range(n_mine):
-                rd = rows_np[i * cap_r:(i + 1) * cap_r]
-                local[i, :len(rd)] = rd
-            buf = multihost.lane_sharded(
-                self.mesh, (self.n_shards, cap_r, self.W), local, 0,
-                self.my_shards[0])
-            self.n_spilled += len(rows_np)
-        else:
-            bucket, _, _, _ = store.unpack_keys_np(rows_np.T, p.k, p.b)
-            dest = bucket % U32(self.n_shards)
-            cap_r = max(int(np.bincount(dest,
-                                        minlength=self.n_shards).max()), 1)
-            host_buf = np.full((self.n_shards, cap_r, self.W), _INVALID,
-                               dtype=U32)
-            for d in range(self.n_shards):
-                rd = rows_np[dest == d]
-                host_buf[d, :len(rd)] = rd
-            buf = jax.device_put(
-                jnp.asarray(host_buf),
-                jax.sharding.NamedSharding(self.mesh,
-                                           jax.sharding.PartitionSpec("x")))
-        self._ensure_room(cap_r)
-        self.state = sharded.sharded_append_buf(self.state, buf, self.mesh)
-        self._n_used_ub += cap_r
-
     # -- lookup ----------------------------------------------------------------
 
     def get(self, kmer: str) -> Optional[int]:
         """Count of one k-mer (orientation-sensitive, like api.Brisk.get /
-        Brisk::get, Brisk.hpp:63-69), summed across shards."""
+        Brisk::get, Brisk.hpp:63-69), summed across shards. Served from
+        the per-shard arenas (round 5): every addressable shard's bucket
+        slice is probed — spill placement (a key living off its owner
+        shard) is invisible because counts sum across shards."""
+        from brisk_tpu.index import sklstore
         p = self.params
         if len(kmer) != p.k:
             raise ValueError(f"need a {p.k}-mer, got {len(kmer)} bases")
+        self.finalize()
         dede = pyref.get_decycling(p.m)
         km = pyref.str2kmer_record(kmer, p.m, dede)
         key = pyref.hash_kmer_minimizer(km.kmer, km.minimizer_idx, p.m, dede)
@@ -618,20 +538,22 @@ class ShardedBrisk:
         bucket = pyref.bucket_id(slice_hash, p)
         cols = store.pack_key_np(bucket, key, km.minimizer_idx,
                                  p.k, p.b)[:, None]
-        found, vals = sharded.sharded_lookup(self.state,
-                                             self._replicated(cols),
-                                             self.mesh)
-        if int(found[0]):
-            return int(vals[0]) % 256
-        return None
-
-    def _replicated(self, host_array):
-        """Query inputs must be replicated global arrays on a
-        multi-process mesh (each process builds the same queries)."""
+        total = 0
+        found_any = False
+        for d, lskl in self._local_skl():
+            found, vals = sklstore.probe(
+                lskl, cols, bucket, p.k, p.m, p.b,
+                segments=self._skl_segments.get(d))
+            if bool(found[0]):
+                found_any = True
+                total += int(vals[0])
         if self.multihost:
             from brisk_tpu.parallel import multihost
-            return multihost.replicate(self.mesh, np.asarray(host_array))
-        return jnp.asarray(host_array)
+            total = multihost.process_sum(total)
+            found_any = multihost.process_sum(int(found_any)) > 0
+        if found_any:
+            return total % 256
+        return None
 
     def get_canonical(self, kmer: str) -> Optional[int]:
         c = self.get(kmer)
@@ -643,10 +565,16 @@ class ShardedBrisk:
 
     def query_file(self, path: str) -> int:
         """Sum of stored counts over every k-mer emission of a query FASTA
-        (reference query_fasta, counter.cpp:314-346); lookups ride
-        sharded_lookup so spill placement is invisible."""
+        (reference query_fasta, counter.cpp:314-346): the query file is
+        enumerated straight to packed keys and joined against each
+        addressable shard's arena expansion (sort-merge; no shadow index,
+        no per-batch gather lookups). Each stored slot lives on exactly
+        one shard, so per-shard totals sum exactly — spill placement is
+        invisible."""
+        from brisk_tpu.index import sklstore
         p = self.params
-        total = 0
+        self.finalize()
+        qk_parts, qlive_parts = [], []
         carry = enum_ops.zero_carry(self.B)
         for bt in fasta.fasta_batches(path, p.k, self.B, self.window):
             em, carry = enum_ops.enumerate_batch(
@@ -656,38 +584,38 @@ class ShardedBrisk:
             rows = store.make_keys(em.bucket.reshape(-1),
                                    em.key.reshape(4, -1),
                                    em.mini_idx.reshape(-1), p.k, p.b)
-            found, vals = sharded.sharded_lookup(
-                self.state, self._replicated(np.asarray(rows)), self.mesh)
-            found_np = np.asarray(found)  # replicated -> addressable
-            vals_np = np.asarray(vals)
-            valid_np = np.asarray(em.valid).reshape(-1)
-            total += int(np.sum(np.where((found_np > 0) & valid_np,
-                                         vals_np % 256, 0)))
+            qk_parts.append(np.asarray(rows))
+            qlive_parts.append(np.asarray(em.valid).reshape(-1))
+        if not qk_parts:
+            return 0
+        qk = np.concatenate(qk_parts, axis=1)
+        qlive = np.concatenate(qlive_parts).astype(np.uint32)
+        total = 0
+        for d, lskl in self._local_skl():
+            total += sklstore.query_join_keys_total(lskl, qk, qlive,
+                                                    p.k, p.m, p.b)
+        if self.multihost:
+            from brisk_tpu.parallel import multihost
+            total = multihost.process_sum(total)
+        # the join sums mod-256 per emission; callers see the same wrap
         return total
 
     # -- enumeration / stats -----------------------------------------------
 
-    def _local_shards(self):
-        """(shard_id, local IndexState) for every shard THIS process can
-        address (all shards on a single host)."""
-        if self.multihost:
-            from brisk_tpu.parallel import multihost
-            yield from multihost.local_entries(self.state)
-        else:
-            for d in range(self.n_shards):
-                yield d, store.IndexState(
-                    self.state.keys[d], self.state.data[d],
-                    self.state.n_sorted[d], self.state.n_used[d])
-
     def items(self) -> Iterator[Tuple[int, int]]:
-        """(kmer_value, count mod 256) per stored entry, shard by shard.
-        A key split between its owner and spill shards appears once per
+        """(kmer_value, count mod 256) per stored entry, shard by shard
+        (per-shard TRANSIENT expansion of the arena, like api.Brisk). A
+        key split between its owner and spill shards appears once per
         holding shard; counts_dict() aggregates. On a multi-process mesh
         each process yields ITS shards only (a pod-wide export
         concatenates per-process outputs, tests/multihost_worker.py)."""
+        from brisk_tpu.index import sklstore
+        self.finalize()
         params = self.params
-        for d, local in self._local_shards():
-            kmers, counts, _ = readout.entries(local, params)
+        for d, lskl in self._local_skl():
+            view = sklstore.expanded_state(lskl, params.k, params.m,
+                                           params.b)
+            kmers, counts, _ = readout.entries(view, params)
             for kv, c in zip(kmers, counts):
                 yield int(kv), int(c) % 256
 
@@ -698,15 +626,19 @@ class ShardedBrisk:
         return agg
 
     def stats(self) -> dict:
+        from brisk_tpu.index import sklstore
         from brisk_tpu.parallel import multihost
+        self.finalize()
         shard_entries = {}
         n_live_local = 0
-        for d, local in self._local_shards():
-            n = int(local.n_sorted)
-            shard_entries[d] = n
-            n_live_local += int(np.count_nonzero(
-                np.asarray(local.data)[:n]))
+        arena_bytes_local = 0
+        for d, lskl in self._local_skl():
+            s = sklstore.stats(lskl)
+            shard_entries[d] = s["nb_superkmer_rows"]
+            n_live_local += s["nb_live_kmers"]
+            arena_bytes_local += s["resident_bytes"]
         n_live = multihost.process_sum(n_live_local)
+        arena_bytes = multihost.process_sum(arena_bytes_local)
         nb_superkmers = self.n_superkmers
         nb_emitted = self.n_emitted
         if self.multihost:
@@ -717,15 +649,15 @@ class ShardedBrisk:
                                  self._repair_superkmers))
             nb_emitted = (nb_emitted - self._repair_emitted
                           + multihost.process_sum(self._repair_emitted))
-        key_bytes = self.state.keys.nbytes + self.state.data.nbytes
         return dict(n_shards=self.n_shards, nb_kmers=n_live,
                     nb_superkmers=nb_superkmers,
                     nb_emitted=nb_emitted,
                     n_spilled=self.n_spilled,
                     n_repaired_windows=self.n_repaired_windows,
                     shard_entries=shard_entries,
-                    index_bytes=key_bytes,
-                    bytes_per_kmer=(key_bytes / n_live) if n_live else 0.0)
+                    index_bytes=arena_bytes,
+                    bytes_per_kmer=(arena_bytes / n_live) if n_live
+                    else 0.0)
 
     # -- compacted super-k-mer arena (C8 at pod scale) -----------------------
 
@@ -775,8 +707,18 @@ class ShardedBrisk:
         done = {}
         kcap_max = rcap_max = 1
         for d, lskl in self._local_skl():
+            f_before = int(lskl.n_fin_rows)
             fin = sklstore.finalize_device(lskl, p.k, p.m, p.b)
             done[d] = fin
+            f_after = int(fin.n_fin_rows)
+            segs = self._skl_segments.get(d, [])
+            if f_after == 0:
+                segs = []
+            elif f_before == 0:
+                segs = [(0, f_after)]  # fused fresh finalize: one run
+            elif f_after > f_before:
+                segs = segs + [(f_before, f_after)]
+            self._skl_segments[d] = segs
             kcap_max = max(kcap_max, fin.data.shape[0])
             rcap_max = max(rcap_max, fin.bucket.shape[0])
         kcap = mh.process_max(kcap_max)
@@ -850,68 +792,40 @@ class ShardedBrisk:
 
     def reallocate(self) -> None:
         """Grow minimizer/bucket space (m += 2, b += 2, clamped at b=15)
-        and re-key every stored entry, re-routing it to its new owner
-        shard (reference Brisk::reallocate, Brisk.hpp:202-224; stop-the-
-        world there too). Multi-process meshes re-key shard-locally and
-        keep entries on their process's shards (spill semantics)."""
+        and re-key every stored entry under the new minimizer
+        decomposition (reference Brisk::reallocate, Brisk.hpp:202-224;
+        stop-the-world there too). Entries stay SHARD-LOCAL: the new
+        bucket ids change hash ownership, but ownership is a routing
+        heuristic — probes/joins sum across shards (spill semantics), so
+        locality-only re-keying is exact on any mesh."""
         from brisk_tpu.index import rekey, sklstore
-        self._compact()
+        self.finalize()
         old = self.params
         new_params = Parameters(k=old.k, m=old.m + 2, b=min(old.b + 2, 15))
-        reke = []
-        for d, local in self._local_shards():
-            reke.append(rekey.reindex(local, old, new_params))
+        done = {}
+        for d, lskl in self._local_skl():
+            view = sklstore.expanded_state(lskl, old.k, old.m, old.b)
+            new_state = rekey.reindex(view, old, new_params)
+            done[d] = sklstore.from_entries(new_state, new_params.k,
+                                            new_params.m, new_params.b)
         self.params = new_params
         self.W = store.key_words(new_params.k, new_params.b)
-        cap = max(int(st.n_sorted) for st in reke) if reke else 1
-        cap = 1 << max(12, (2 * cap - 1).bit_length())
-        if self.multihost:
-            from brisk_tpu.parallel import multihost as mh
-            cap = mh.process_max(cap)
-            self.state = mh.sharded_empty_global(self.n_shards, cap,
-                                                 self.mesh, self.W)
-        else:
-            self.state = sharded.sharded_empty(self.n_shards, cap,
-                                               self.mesh, self.W)
-        self._n_used_ub = 0
-        # deliver re-keyed entries (new bucket ids re-route ownership;
-        # multihost keeps them process-local as spill)
-        rows_all = []
-        vals_all = []
-        for st in reke:
-            nloc = int(st.n_sorted)
-            keys_np = np.asarray(st.keys)[:, :nloc]
-            data_np = np.asarray(st.data)[:nloc]
-            livec = data_np != 0
-            rows_all.append(keys_np[:, livec].T)
-            vals_all.append(data_np[livec])
-        rows_np = (np.concatenate(rows_all, axis=0) if rows_all
-                   else np.zeros((0, self.W), dtype=U32))
-        vals_np = (np.concatenate(vals_all) if vals_all
-                   else np.zeros((0,), dtype=U32))
-        self._deliver_rows_valued(rows_np, vals_np)
-        self._compact()
-        self._rebuild_skl_from_entries()
+        self._skl_nw = sklstore.skl_dims(new_params.k, new_params.m,
+                                         new_params.b)[3]
+        self._assemble_skl(done)
+        self._skl_dirty = False
 
-    def _rebuild_skl_from_entries(self) -> None:
-        """Rebuild the per-shard super-k-mer arenas as size-1 rows from
-        the packed per-shard entries (used by reallocate — new (m, b)
-        invalidates the old grouping — and by loads of checkpoints that
-        predate the skl arrays)."""
+    def _assemble_skl(self, done) -> None:
+        """Pad per-shard arenas to the process-max caps and reassemble
+        the shard-axis SklState pytree; resets the per-shard segment
+        lists (each assembled arena is fully finalized = one
+        bucket-grouped run)."""
         from brisk_tpu.index import sklstore
         from brisk_tpu.parallel import multihost as mh
-        p = self.params
-        done = {}
-        rcap_max = kcap_max = 1
-        for d, local in self._local_shards():
-            fin = sklstore.from_entries(local, p.k, p.m, p.b)
-            done[d] = fin
-            rcap_max = max(rcap_max, fin.bucket.shape[0])
-            kcap_max = max(kcap_max, fin.data.shape[0])
-        rcap = mh.process_max(rcap_max)
-        kcap = mh.process_max(kcap_max)
-        nw2 = sklstore.skl_dims(p.k, p.m, p.b)[3]
-        self._skl_nw = nw2
+        rcap = mh.process_max(max((f.bucket.shape[0]
+                                   for f in done.values()), default=1))
+        kcap = mh.process_max(max((f.data.shape[0]
+                                   for f in done.values()), default=1))
         for d, fin in done.items():
             done[d] = fin._replace(
                 bucket=jnp.pad(fin.bucket,
@@ -922,6 +836,10 @@ class ShardedBrisk:
                              ((0, 0), (0, rcap - fin.nucs.shape[1]))),
                 data=jnp.pad(fin.data, (0, kcap - fin.data.shape[0])),
                 offs=jnp.pad(fin.offs, (0, rcap - fin.offs.shape[0])))
+            self._skl_segments[d] = (
+                [(0, int(fin.n_fin_rows))] if int(fin.n_fin_rows)
+                else [])
+        nw = self._skl_nw
 
         def assemble(name, shape_tail, dt):
             def fill(idx):
@@ -935,7 +853,7 @@ class ShardedBrisk:
         self.skl = sklstore.SklState(
             bucket=assemble("bucket", (rcap,), np.uint32),
             meta=assemble("meta", (rcap,), np.uint32),
-            nucs=assemble("nucs", (nw2, rcap), np.uint32),
+            nucs=assemble("nucs", (nw, rcap), np.uint32),
             data=assemble("data", (kcap,), np.uint32),
             offs=assemble("offs", (rcap,), np.uint32),
             n_rows=assemble("n_rows", (), np.int32),
@@ -943,75 +861,20 @@ class ShardedBrisk:
             n_fin_kmers=assemble("n_fin_kmers", (), np.int32))
         self._skl_rows_ub = mh.process_max(
             max((int(f.n_rows) for f in done.values()), default=0))
-        self._skl_dirty = False
-
-    def _deliver_rows_valued(self, rows_np: np.ndarray,
-                             vals_np: np.ndarray) -> None:
-        """Like _deliver_rows but with explicit per-row values (counts),
-        used by reallocate. Values ride an extra routed column."""
-        from brisk_tpu.parallel import multihost
-        if self.multihost:
-            n_mine = len(self.my_shards)
-            if multihost.process_max(len(rows_np)) == 0:
-                return
-            cap_r = multihost.process_max(
-                -(-max(len(rows_np), 1) // n_mine))
-            rec = np.full((n_mine, cap_r, self.W + 1), 0, dtype=U32)
-            rec[:, :, :self.W] = _INVALID
-            for i in range(n_mine):
-                rd = rows_np[i * cap_r:(i + 1) * cap_r]
-                rec[i, :len(rd), :self.W] = rd
-                rec[i, :len(rd), self.W] = vals_np[i * cap_r:
-                                                   i * cap_r + len(rd)]
-            buf = multihost.lane_sharded(
-                self.mesh, (self.n_shards, cap_r, self.W + 1), rec, 0,
-                self.my_shards[0])
-        else:
-            bucket, _, _, _ = store.unpack_keys_np(rows_np.T,
-                                                   self.params.k,
-                                                   self.params.b)
-            dest = bucket % U32(self.n_shards)
-            cap_r = max(int(np.bincount(dest,
-                                        minlength=self.n_shards).max()), 1)
-            host_buf = np.zeros((self.n_shards, cap_r, self.W + 1),
-                                dtype=U32)
-            host_buf[:, :, :self.W] = _INVALID
-            for d in range(self.n_shards):
-                sel = dest == d
-                rd = rows_np[sel]
-                host_buf[d, :len(rd), :self.W] = rd
-                host_buf[d, :len(rd), self.W] = vals_np[sel]
-            buf = jax.device_put(
-                jnp.asarray(host_buf),
-                jax.sharding.NamedSharding(self.mesh,
-                                           jax.sharding.PartitionSpec("x")))
-        self._ensure_room(cap_r)
-        self.state = sharded.sharded_append_valued_buf(self.state, buf,
-                                                       self.mesh)
-        self._n_used_ub += cap_r
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Sharded checkpoint: per-shard arrays with the shard axis kept,
-        so load() re-places them on any mesh of the same shard count.
+        """Sharded checkpoint: per-shard arena arrays with the shard axis
+        kept, so load() re-places them on any mesh of the same shard
+        count.
 
         Multi-host: each process writes ONLY its shards to
         `{path}.proc{pid}.npz` (no host ever holds the whole index);
         load() on a single host reassembles all process files."""
-        self._compact()
-        extra = {}
         self.finalize()
-        if not self.multihost:
-            extra = {f"skl_{name}": np.asarray(getattr(self.skl, name))
-                     for name in self.skl._fields}
         if self.multihost:
             shards = {}
-            for d, local in self._local_shards():
-                shards[f"shard{d}_keys"] = np.asarray(local.keys)
-                shards[f"shard{d}_data"] = np.asarray(local.data)
-                shards[f"shard{d}_n"] = np.array(
-                    [int(local.n_sorted), int(local.n_used)])
             for d, lskl in self._local_skl():
                 for name in lskl._fields:
                     shards[f"shard{d}_skl_{name}"] = \
@@ -1024,12 +887,10 @@ class ShardedBrisk:
                 n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
                 n_spilled=self.n_spilled, **shards)
             return
+        extra = {f"skl_{name}": np.asarray(getattr(self.skl, name))
+                 for name in self.skl._fields}
         np.savez_compressed(
             path,
-            keys=np.asarray(self.state.keys),
-            data=np.asarray(self.state.data),
-            n_sorted=np.asarray(self.state.n_sorted),
-            n_used=np.asarray(self.state.n_used),
             k=self.params.k, m=self.params.m, b=self.params.b,
             n_emitted=self.n_emitted, n_superkmers=self.n_superkmers,
             n_spilled=self.n_spilled, **extra)
@@ -1040,42 +901,32 @@ class ShardedBrisk:
         """Reassemble a multi-process checkpoint (`{path}.proc*.npz`) on
         a single host with enough devices."""
         import glob
+
+        from brisk_tpu.index import sklstore
         files = sorted(glob.glob(f"{path}.proc*.npz"))
         assert files, f"no {path}.proc*.npz checkpoints found"
         parts = [np.load(f) for f in files]
         n_shards = int(parts[0]["n_shards"])
         params = Parameters(k=int(parts[0]["k"]), m=int(parts[0]["m"]),
                             b=int(parts[0]["b"]))
-        cap = parts[0]["shard0_keys"].shape[1] if "shard0_keys" in \
-            parts[0] else None
-        keys = data = None
-        n_sorted = np.zeros(n_shards, np.int32)
-        n_used = np.zeros(n_shards, np.int32)
-        for z in parts:
-            for d in (int(x) for x in z["shard_ids"]):
-                kd = z[f"shard{d}_keys"]
-                if keys is None:
-                    keys = np.zeros((n_shards,) + kd.shape, np.uint32)
-                    data = np.zeros((n_shards, kd.shape[1]), np.uint32)
-                keys[d] = kd
-                data[d] = z[f"shard{d}_data"]
-                n_sorted[d], n_used[d] = (int(x) for x in
-                                          z[f"shard{d}_n"])
+        if "shard0_skl_bucket" not in parts[0]:
+            raise ValueError("not a super-k-mer-arena checkpoint (the "
+                             "packed per-k-mer format was removed; "
+                             "re-export via KFF)")
         if mesh is None:
             mesh = sharded.make_mesh(n_shards)
-        self = cls(params, mesh=mesh, capacity=keys.shape[2], **kw)
-        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
-        self.state = store.IndexState(
-            keys=jax.device_put(jnp.asarray(keys), sh),
-            data=jax.device_put(jnp.asarray(data), sh),
-            n_sorted=jax.device_put(jnp.asarray(n_sorted), sh),
-            n_used=jax.device_put(jnp.asarray(n_used), sh))
-        self._sync_used()
+        self = cls(params, mesh=mesh, **kw)
+        done = {}
+        for z in parts:
+            for d in (int(x) for x in z["shard_ids"]):
+                done[d] = sklstore.SklState(
+                    **{name: jnp.asarray(z[f"shard{d}_skl_{name}"])
+                       for name in sklstore.SklState._fields})
+        self._assemble_skl(done)
+        self._skl_dirty = False
         self.n_emitted = int(parts[0]["n_emitted"])
+        self.n_superkmers = int(parts[0]["n_superkmers"])
         self.n_spilled = sum(int(z["n_spilled"]) for z in parts)
-        # checkpoints predating the per-shard skl arrays: rebuild size-1
-        # arenas from the packed entries
-        self._rebuild_skl_from_entries()
         return self
 
     @classmethod
@@ -1083,28 +934,25 @@ class ShardedBrisk:
         from brisk_tpu.index import sklstore
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         params = Parameters(k=int(z["k"]), m=int(z["m"]), b=int(z["b"]))
-        n_shards = z["keys"].shape[0]
-        has_skl = "skl_bucket" in z
+        if "skl_bucket" not in z:
+            raise ValueError("not a super-k-mer-arena checkpoint (the "
+                             "packed per-k-mer format was removed; "
+                             "re-export via KFF)")
+        n_shards = z["skl_bucket"].shape[0]
         if mesh is None:
             mesh = sharded.make_mesh(n_shards)
         assert mesh.shape["x"] == n_shards, \
             f"checkpoint has {n_shards} shards, mesh has {mesh.shape['x']}"
-        self = cls(params, mesh=mesh, capacity=z["keys"].shape[2], **kw)
+        self = cls(params, mesh=mesh, **kw)
         sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("x"))
-        self.state = store.IndexState(
-            keys=jax.device_put(jnp.asarray(z["keys"]), sh),
-            data=jax.device_put(jnp.asarray(z["data"]), sh),
-            n_sorted=jax.device_put(jnp.asarray(z["n_sorted"]), sh),
-            n_used=jax.device_put(jnp.asarray(z["n_used"]), sh))
-        self._sync_used()
-        if has_skl:
-            self.skl = sklstore.SklState(
-                **{name: jax.device_put(jnp.asarray(z[f"skl_{name}"]), sh)
-                   for name in sklstore.SklState._fields})
-            self._skl_rows_ub = int(jnp.max(self.skl.n_rows))
-            self._skl_dirty = False
-        else:
-            self._rebuild_skl_from_entries()
+        self.skl = sklstore.SklState(
+            **{name: jax.device_put(jnp.asarray(z[f"skl_{name}"]), sh)
+               for name in sklstore.SklState._fields})
+        self._skl_rows_ub = int(jnp.max(self.skl.n_rows))
+        self._skl_dirty = False
+        nfr = np.asarray(z["skl_n_fin_rows"])
+        self._skl_segments = {d: ([(0, int(nfr[d]))] if int(nfr[d])
+                                  else []) for d in range(n_shards)}
         self.n_emitted = int(z["n_emitted"])
         self.n_superkmers = int(z["n_superkmers"])
         self.n_spilled = int(z["n_spilled"])

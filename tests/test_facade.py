@@ -55,7 +55,11 @@ def test_facade_insert_file_count_parity(tmp_path, mesh):
 
     st = br.stats()
     assert st["nb_kmers"] == len(exp)
-    assert sum(st["shard_entries"].values()) >= len(exp)
+    # shard_entries are super-k-mer ROWS since round 5 (the arena is the
+    # only index state); every k-mer lives in some row
+    from brisk_tpu.index import sklstore
+    s_max = sklstore.skl_dims(k, m, b)[1]
+    assert sum(st["shard_entries"].values()) * s_max >= len(exp)
 
     # sharded checkpoint round-trip
     ckpt = str(tmp_path / "ckpt.npz")
@@ -86,7 +90,7 @@ def test_facade_skewed_input_spills_without_loss(tmp_path, mesh):
 
     br = ShardedBrisk(Parameters(k=k, m=m, b=b), mesh=mesh,
                       batch_per_shard=8, window=64, stack=2,
-                      route_cap=16, capacity=1 << 15)
+                      skl_route_cap=2, capacity=1 << 15)
     br.insert_file(path)
     assert br.n_spilled > 0  # the tiny cap must actually trigger the path
     assert br.counts_dict() == pyref.count_fasta(path, k, m)
