@@ -47,12 +47,12 @@ DEV_REF_KMERS_PER_S = 4.43e6    # reference counter, 4.6 Mb, t=2 (BASELINE.md)
 K63_REF_KMERS_PER_S = 0.27e6    # reference counter, 4.6 Mb k=63 t=2
 
 
-def synth_path(n_bases: int, name: str) -> str:
+def synth_path(n_bases: int, name: str, read_len: int = 10_000) -> str:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from make_synth_fasta import write_synth
     path = f"/tmp/bench_synth_{name}.fa"
     if not os.path.exists(path):
-        write_synth(path, n_bases=n_bases, read_len=10_000, seed=1234)
+        write_synth(path, n_bases=n_bases, read_len=read_len, seed=1234)
     return path
 
 
@@ -120,7 +120,7 @@ def e2e_bench():
     br = Brisk(Parameters(k=31, m=11, b=8), batch=2048, window=512,
                stack=8)
     t_cold0 = time.time()
-    br.warmup(os.path.getsize(path))
+    br.warmup(os.path.getsize(path), path=path)
     t0 = time.time()
     stage_warmup = t0 - t_cold0
     br.insert_file(path)
@@ -168,7 +168,7 @@ def k63_e2e_bench():
     br = Brisk(Parameters(k=63, m=21, b=14), batch=1024, window=512,
                stack=4)
     t_cold0 = time.time()
-    br.warmup(os.path.getsize(path))
+    br.warmup(os.path.getsize(path), record_len_hint=10_000, path=path)
     t0 = time.time()
     br.insert_file(path)
     int(br.skl.n_rows)
@@ -183,6 +183,66 @@ def k63_e2e_bench():
         k63_nb_kmers=n,
         k63_repaired_windows=br.n_repaired_windows,
         k63_repair_batches=br.n_repair_batches,
+    )
+
+
+def k63_short_read_bench():
+    """k=63 on 150 bp reads — the dominant real-world input shape
+    (VERDICT r4 item 7): the adaptive lane geometry must keep the rate
+    within ~2x of the 10 kb-read rate instead of leaving lanes ~95%
+    idle."""
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    path = synth_path(4_600_000, "4p6mb_sr150", read_len=150)
+    br = Brisk(Parameters(k=63, m=21, b=14), batch=4096, window=512,
+               stack=4)
+    t_cold0 = time.time()
+    br.warmup(os.path.getsize(path), record_len_hint=150, path=path)
+    t0 = time.time()
+    br.insert_file(path)
+    int(br.skl.n_rows)
+    br.finalize()
+    int(br.skl.n_fin_kmers)
+    t1 = time.time()
+    n = br.n_emitted
+    return dict(
+        k63_shortread_kmers_per_sec=round(n / (t1 - t0)),
+        k63_shortread_warmup_s=round(t0 - t_cold0, 2),
+        k63_shortread_nb_kmers=n,
+    )
+
+
+def scale_500mb_bench():
+    """500 Mb ingest on the chip (VERDICT r4 item 9): mid-ingest segment
+    finalizes bound the consolidation working set; records peak host
+    RSS, segment count, and the rate degradation vs the 50 Mb run."""
+    import resource
+
+    from brisk_tpu.api import Brisk
+    from brisk_tpu.params import Parameters
+    path = synth_path(500_000_000, "500mb")
+    br = Brisk(Parameters(k=31, m=11, b=8), batch=2048, window=512,
+               stack=8)
+    t_cold0 = time.time()
+    br.warmup(os.path.getsize(path), path=path)
+    t0 = time.time()
+    br.insert_file(path)
+    int(br.skl.n_rows)
+    t1 = time.time()
+    br.finalize()
+    int(br.skl.n_fin_kmers)
+    t2 = time.time()
+    n = br.n_emitted
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return dict(
+        scale500_kmers_per_sec=round(n / (t2 - t0)),
+        scale500_warmup_s=round(t0 - t_cold0, 2),
+        scale500_insert_s=round(t1 - t0, 2),
+        scale500_finalize_s=round(t2 - t1, 2),
+        scale500_nb_kmers=n,
+        scale500_segments=len(br._skl_segments),
+        scale500_skl_overflows=br.n_skl_overflows,
+        scale500_host_rss_gb=round(rss_gb, 2),
     )
 
 
@@ -232,6 +292,8 @@ def main():
     })
     rec.update(run_stage(rec, "e2e", e2e_bench))
     rec.update(run_stage(rec, "k63", k63_e2e_bench))
+    rec.update(run_stage(rec, "k63_short", k63_short_read_bench))
+    rec.update(run_stage(rec, "scale500", scale_500mb_bench))
     sh = run_stage(rec, "sharded", sharded_overhead)
     rec.update({f"sharded_{k}": v for k, v in sh.items()})
     print(json.dumps(rec))

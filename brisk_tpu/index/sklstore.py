@@ -560,111 +560,38 @@ def finalize_host(state: SklState, k: int, m: int, b: int,
         n_fin_rows=jnp.int32(nr), n_fin_kmers=jnp.int32(total_k))
 
 
-# -- device-resident finalize -------------------------------------------
+# -- device-resident finalize (v3, round 5) ----------------------------
 #
 # The host-orchestrated finalize above moves the whole expansion through
-# host memory; on the tunneled TPU runtime that is ~12 MB/s and dominated
-# e2e (184 s of a 197 s finalize at 50 Mb). The device pipeline below
-# keeps every per-slot array in HBM: the host sees only scalars. NO
-# gathers/scatters anywhere (pathological on this backend): ragged joins
-# are sort-merge joins, dense placements are live-first sorts + slice
-# writes.
-
-
-
-
-@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
-         donate_argnums=(0, 1, 2, 3))
-def _expand_dense_prefix(out_keys, out_hi, out_lo, out_cnt, n_slots,
-                         bucket_c, meta_c, nucs_c, data_c, f_live,
-                         k: int, m: int, b: int, s_max: int):
-    """Expand the FINALIZED-prefix rows to per-slot packed keys and
-    DENSE-append the live slots (one live-first sort). Dense slot order
-    == arena slot order, so slot t aligns with data[t]: the base count
-    is read off data_c by position, no gather. Tags: (hi=0, lo=dense
-    slot index t) — sorts before every tail tag in the consolidate
-    back-sort. Rows at index >= f_live are fresh tail rows picked up by
-    the family-padded slice and are masked dead here (the strided pass
-    owns them). The per-J expansion runs as a lax.scan (see
-    _expand_one_j) and fills a J-MAJOR scratch buffer; the `order` sort
-    key (arena slot index r*s_max+j) restores arena-dense order, so
-    buffer layout never leaks out."""
-    R = bucket_c.shape[0]
-    W = store.key_words(k, b)
-    n = R * s_max
-    nucs_t = _nucs_tuple(bucket_c, nucs_c)
-    jk = jnp.full((W, n), _INVALID, dtype=U32)
-    jorder = jnp.full((n,), _INVALID, dtype=U32)
-    r_iota = jnp.arange(R, dtype=U32)
-    row_live = r_iota < f_live.astype(U32)
-
-    def step(carry, J):
-        jk_, jo_ = carry
-        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
-        ok = ok & row_live
-        keys = jnp.where(ok[None, :], keys, _INVALID)
-        order = jnp.where(ok, r_iota * U32(s_max) + J, _INVALID)
-        pos = (J * U32(R)).astype(jnp.int32)
-        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
-        jo_ = jax.lax.dynamic_update_slice(jo_, order, (pos,))
-        return (jk_, jo_), jnp.sum(ok).astype(jnp.int32)
-
-    (jk, jorder), lives = jax.lax.scan(
-        step, (jk, jorder), jnp.arange(s_max, dtype=U32))
-    n_live = jnp.sum(lives)
-    out = jax.lax.sort((jorder,) + tuple(jk[i] for i in range(W)),
-                       num_keys=1)
-    live_s = out[0] != _INVALID
-    keys_s = tuple(jnp.where(live_s, kk, _INVALID) for kk in out[1:1 + W])
-    t = n_slots.astype(U32) + jnp.arange(n, dtype=U32)
-    hi_s = jnp.where(live_s, U32(0), _INVALID)
-    lo_s = jnp.where(live_s, t, _INVALID)
-    cnt_s = jnp.where(live_s, data_c[:n], 0)
-    out_keys = jax.lax.dynamic_update_slice(
-        out_keys, jnp.stack(keys_s), (jnp.int32(0), n_slots))
-    out_hi = jax.lax.dynamic_update_slice(out_hi, hi_s, (n_slots,))
-    out_lo = jax.lax.dynamic_update_slice(out_lo, lo_s, (n_slots,))
-    out_cnt = jax.lax.dynamic_update_slice(out_cnt, cnt_s, (n_slots,))
-    return out_keys, out_hi, out_lo, out_cnt, n_slots + n_live
-
-
-@partial(jax.jit, static_argnames=("k", "m", "b", "s_max"),
-         donate_argnums=(0, 1, 2, 3))
-def _expand_strided(out_keys, out_hi, out_lo, out_cnt,
-                    bucket_c, meta_c, nucs_c, row0, write_pos,
-                    k: int, m: int, b: int, s_max: int):
-    """Expand FRESH rows to J-MAJOR strided slots — a lax.scan over J,
-    pure elementwise per step, NO sort. Slot (r, J) lands at buffer
-    offset write_pos + J*R + r with tag (hi = 1<<31 | bucket,
-    lo = global_row*s_max + J); dead slots get all-ones tags. The
-    consolidate back-sort orders by tag = (segment, bucket, old row, j)
-    == the arena order AFTER the bucket tail sort, with dead slots last
-    — the J-major buffer layout never matters."""
-    R = bucket_c.shape[0]
-    W = store.key_words(k, b)
-    nucs_t = _nucs_tuple(bucket_c, nucs_c)
-    r_iota = jnp.arange(R, dtype=U32)
-    hi_base = U32(1 << 31) | bucket_c
-    lo_base = (row0 + r_iota) * U32(s_max)
-
-    def step(carry, J):
-        ok_, oh_, ol_, oc_ = carry
-        keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
-        keys = jnp.where(ok[None, :], keys, _INVALID)
-        hi = jnp.where(ok, hi_base, _INVALID)
-        lo = jnp.where(ok, lo_base + J, _INVALID)
-        pos = write_pos + (J * U32(R)).astype(jnp.int32)
-        ok_ = jax.lax.dynamic_update_slice(ok_, keys, (jnp.int32(0), pos))
-        oh_ = jax.lax.dynamic_update_slice(oh_, hi, (pos,))
-        ol_ = jax.lax.dynamic_update_slice(ol_, lo, (pos,))
-        oc_ = jax.lax.dynamic_update_slice(
-            oc_, ok.astype(U32), (pos,))
-        return (ok_, oh_, ol_, oc_), jnp.sum(ok).astype(jnp.int32)
-
-    (out_keys, out_hi, out_lo, out_cnt), lives = jax.lax.scan(
-        step, (out_keys, out_hi, out_lo, out_cnt),
-        jnp.arange(s_max, dtype=U32))
-    return out_keys, out_hi, out_lo, out_cnt, jnp.sum(lives)
+# host memory (kept as the algorithmic oracle); the device pipeline
+# below keeps every per-slot array in HBM. Round-5 redesign ("finalize
+# v3"):
+#
+#   * PADDED data layout: finalized row r's counts live at data[offs[r]
+#     + j] with offs[r] = r * s_max — slot positions are pure functions
+#     of the row index, which removes every offs gather AND every
+#     order-restoring sort from the expanders (consumers always went
+#     through the offs column, so probes/KFF/joins are unchanged).
+#   * SPAN finalize: ONE fused program consolidates rows [f, n) as a
+#     bucket-grouped SEGMENT without touching the prefix — O(span)
+#     work and memory, so huge inputs finalize incrementally
+#     (mid-ingest, overlapped with transfers) instead of expanding the
+#     whole arena at once (a 500 Mb input needs ~13 GB of sort operands
+#     under the round-4 whole-arena scheme; a span never needs more
+#     than its own slots).
+#   * CHUNKED consolidation: the key sort + tag back-sort run as
+#     BATCHED (C, CW) sorts — ~2x the comparator throughput of one
+#     global sort (log^2 scaling). Duplicate keys split across chunk
+#     (or segment) boundaries keep PARTIAL counts on multiple slots;
+#     every consumer SUMS counts per key (probe, probe_np, joins,
+#     readout), so totals stay exact. The exact DISTINCT count is
+#     computed on demand by distinct_count() (a global key sort off the
+#     hot path).
+#   * consolidate_all(): the maintenance op (reference insert_buffer
+#     merge analog, buckets.hpp:166-189) — re-consolidates the WHOLE
+#     arena into one segment, merges cross-segment duplicates onto one
+#     slot, and DROPS dead rows (all slots zero), bounding probe cost
+#     over long insert/finalize cycles.
 
 
 def _shape_family(n: int, floor: int = 1 << 12) -> int:
@@ -678,295 +605,345 @@ def _shape_family(n: int, floor: int = 1 << 12) -> int:
     return p2
 
 
-def expand_device(state: SklState, k: int, m: int, b: int,
-                  chunk_rows: int = 1 << 18):
-    """Whole-arena expansion, device-resident. The finalized prefix
-    expands DENSE (slot t aligns with data[t], chunked); fresh tail rows
-    expand STRIDED in ONE device call (no sorts, no per-chunk dispatch —
-    23 chunked calls cost ~10 s of pure dispatch latency on the tunneled
-    runtime). Returns (keys (W, S2) INVALID-padded, tag_hi, tag_lo, base
-    counts (all (S2,)), n_slots device scalar, total_k int)."""
-    cs, s_max, _, nw = skl_dims(k, m, b)
-    W = store.key_words(k, b)
-    F = int(state.n_fin_rows)
-    N = int(state.n_rows)
-    n_tail = N - F
-    F_pad = _shape_family(F, floor=1 << 8) if F else 0
-    R_pad = _shape_family(n_tail, floor=1 << 8) if n_tail else 0
-    # SHAPE DISCIPLINE: every device op below runs on family-padded
-    # shapes via dynamic_slice — an exact-n_rows slice (odd shape) would
-    # compile AND load a fresh executable per value on the tunneled
-    # backend (~10 s each; this was the entire "expand 10 s" mystery).
-    need_cap = max(F + R_pad, F_pad, 1)
-    if need_cap > state.bucket.shape[0]:
-        state = grow(state, 1 << (need_cap - 1).bit_length(),
-                     state.data.shape[0])
-    S2 = _shape_family((F_pad + R_pad) * s_max)
-    out_keys = jnp.full((W, S2), _INVALID, dtype=U32)
-    out_hi = jnp.full((S2,), _INVALID, dtype=U32)
-    out_lo = jnp.full((S2,), _INVALID, dtype=U32)
-    out_cnt = jnp.zeros((S2,), dtype=U32)
-
-    def rows(start, width):
-        # [start, start+width) is INVALID-padded beyond n_rows by the
-        # arena invariants (append_n dead tails, grow padding, tail sort)
-        bucket_c = jax.lax.dynamic_slice(state.bucket, (start,), (width,))
-        meta_c = jax.lax.dynamic_slice(state.meta, (start,), (width,))
-        nucs_c = jax.lax.dynamic_slice(state.nucs, (0, start),
-                                       (state.nucs.shape[0], width))
-        return bucket_c, meta_c, nucs_c
-
-    n_slots = jnp.int32(0)
-    dense_total = strided_total = jnp.int32(0)
-    if F:  # finalized prefix: dense, one live-first sort
-        bucket_c, meta_c, nucs_c = rows(0, F_pad)
-        need = F_pad * s_max  # one compiled shape per F_pad
-        if state.data.shape[0] < need:
-            dslice = jnp.pad(state.data, (0, need - state.data.shape[0]))
-        else:
-            dslice = state.data[:need]
-        (out_keys, out_hi, out_lo, out_cnt,
-         n_slots) = _expand_dense_prefix(
-            out_keys, out_hi, out_lo, out_cnt, n_slots,
-            bucket_c, meta_c, nucs_c, dslice, jnp.int32(F),
-            k=k, m=m, b=b, s_max=s_max)
-        dense_total = n_slots
-    if n_tail:  # fresh tail: strided, sort-free, one call
-        bucket_t, meta_t, nucs_t = rows(F, R_pad)
-        (out_keys, out_hi, out_lo, out_cnt,
-         strided_total) = _expand_strided(
-            out_keys, out_hi, out_lo, out_cnt, bucket_t, meta_t, nucs_t,
-            U32(F), jnp.int32(F_pad * s_max),
-            k=k, m=m, b=b, s_max=s_max)
-    total_k = int(dense_total) + int(strided_total)
-    return out_keys, out_hi, out_lo, out_cnt, n_slots, total_k
+def _chunk_width(S2: int) -> int:
+    """Largest power-of-two chunk width <= 2^18 that divides S2 (S2 is
+    family-shaped = 2^q or 3*2^(q-1), so the largest 2-power divisor is
+    S2 & -S2)."""
+    return min(1 << 18, S2 & -S2, S2)
 
 
-@jax.jit
-def _consolidate_dense(keys, tag_hi, tag_lo, cnt):
-    """Sort all slots by key, land each duplicate run's total on ONE
-    slot of the run, back-sort by tag. Because tags order as
-    (finalized-prefix t | (1, bucket, old row, j) | dead), the
-    back-sorted totals are DENSE in the arena order the bucket tail
-    sort produces — dead/pad slots land at the end.
-
-    The key sort does NOT tie-break on tags (num_keys=W, not W+2): the
-    XLA sort is comparator-bound and every consumer (probe, join,
-    expansion base counts, re-finalize) SUMS counts per key across
-    slots, so it never matters which duplicate slot carries the run
-    total."""
+def _consolidate_chunked(keys, tag_template, cnt, S2: int):
+    """Chunked consolidation: per-chunk key sort, run totals, back-sort
+    by position tag. keys (W, S2); cnt (S2,) per-slot counts (0 on dead
+    slots) or None (fresh span: every live slot counts 1, derived from
+    key != INVALID — drops one sort operand). Returns (S2,) totals in
+    the ORIGINAL slot order (dead slots 0)."""
     W = keys.shape[0]
-    S2 = tag_hi.shape[0]
-    ops = tuple(keys[i] for i in range(W)) + (tag_hi, tag_lo, cnt)
-    out = jax.lax.sort(ops, num_keys=W)
-    skeys, s_hi, s_lo, scnt = out[:W], out[W], out[W + 1], out[W + 2]
-    first = jnp.zeros(S2, dtype=bool).at[0].set(True)
-    neq = jnp.zeros(S2, dtype=bool)
+    CW = _chunk_width(S2)
+    C = S2 // CW
+    k2 = tuple(keys[i].reshape(C, CW) for i in range(W))
+    tag = jnp.broadcast_to(jnp.arange(CW, dtype=U32)[None, :], (C, CW))
+    ops = k2 + ((tag,) if cnt is None else (tag, cnt.reshape(C, CW)))
+    out = jax.lax.sort(ops, dimension=1, num_keys=W)
+    s_tag = out[W]
+    if cnt is None:
+        dead = out[0] == _INVALID
+        for i in range(1, W):
+            dead = dead & (out[i] == _INVALID)
+        s_cnt = jnp.where(dead, U32(0), U32(1))
+    else:
+        s_cnt = out[W + 1]
+    first = jnp.zeros((C, CW), dtype=bool).at[:, 0].set(True)
+    neq = jnp.zeros((C, CW), dtype=bool)
     for i in range(W):
-        neq = neq | (skeys[i] != jnp.roll(skeys[i], 1))
+        neq = neq | (out[i] != jnp.roll(out[i], 1, axis=1))
     first = first | neq
-    csum = jnp.cumsum(scnt, dtype=jnp.uint32)
-    is_last = jnp.roll(first, -1).at[-1].set(True)
+    csum = jnp.cumsum(s_cnt, axis=1, dtype=jnp.uint32)
+    is_last = jnp.roll(first, -1, axis=1).at[:, -1].set(True)
     last_csum = jax.lax.cummin(
-        jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
-    totals = jnp.where(first, last_csum - (csum - scnt), 0)
-    back = jax.lax.sort((s_hi, s_lo, totals), num_keys=2)
-    return back[2]  # (S2,) final-arena-order totals, dense
+        jnp.where(is_last, csum, U32(0xFFFFFFFF)), axis=1, reverse=True)
+    totals = jnp.where(first, last_csum - (csum - s_cnt), 0)
+    back = jax.lax.sort((s_tag, totals), dimension=1, num_keys=1)
+    return back[1].reshape(S2)
 
 
-@partial(jax.jit, static_argnames=("wp",), donate_argnums=(0, 1, 2))
-def _bucket_sort_tail(bucket, meta, nucs, f, wp: int):
-    """Sort the unfinalized row tail [f, f+wp) by (bucket, arena order):
-    groups the new rows by bucket so lookups can slice them, and pushes
-    INVALID tombstones past the live tail (they are dropped by the
-    caller's n_rows update). The finalized prefix [0, f) is untouched —
-    its rows must keep their order because data[t] aligns with dense
-    slot t of the prefix expansion (see _expand_dense_prefix)."""
-    nw = nucs.shape[0]
-    b_t = jax.lax.dynamic_slice(bucket, (f,), (wp,))
-    m_t = jax.lax.dynamic_slice(meta, (f,), (wp,))
-    n_t = jax.lax.dynamic_slice(nucs, (jnp.int32(0), f), (nw, wp))
-    iota = jnp.arange(wp, dtype=U32)
-    out = jax.lax.sort((b_t, iota, m_t) + tuple(n_t[i] for i in range(nw)),
-                       num_keys=2)
-    n_live = jnp.sum(out[0] != _INVALID).astype(jnp.int32)
-    bucket = jax.lax.dynamic_update_slice(bucket, out[0], (f,))
-    meta = jax.lax.dynamic_update_slice(meta, out[2], (f,))
-    nucs = jax.lax.dynamic_update_slice(nucs, jnp.stack(out[3:]),
-                                        (jnp.int32(0), f))
-    return bucket, meta, nucs, n_live
+def _row_block(R: int, target: int = 1 << 17) -> int:
+    """Rows per block for the block-scan expanders: the largest
+    power-of-two <= target dividing R (R is family-shaped, so R & -R is
+    its largest 2-power divisor)."""
+    return min(target, R & -R, R)
 
 
-@jax.jit
-def _offs_total(bucket, meta, n_rows):
-    """Per-row data offsets (exclusive cumsum of sizes over the live
-    prefix) + total k-mer slot count."""
-    iota = jnp.arange(bucket.shape[0], dtype=U32)
-    live = (bucket != _INVALID) & (iota < n_rows.astype(U32))
-    sizes = jnp.where(live, meta & U32(0xFF), 0)
-    csum = jnp.cumsum(sizes, dtype=jnp.uint32)
-    offs = jnp.where(live, csum - sizes, 0).astype(U32)
-    return offs, (csum[-1]).astype(jnp.int32)
+def _expand_span(sb, sm, sn, k: int, m: int, b: int, s_max: int):
+    """Expand sorted span rows to ROW-MAJOR per-slot packed keys.
+
+    TPU LAYOUT RULE (round 5, learned the hard way): any large array
+    whose MINOR dimension is s_max(=8) gets lane-tiled to 128 — a 16x
+    memory blowup (a (W, 12.6M, 8) u32 transpose materialized 19.3 GB
+    and failed to compile). The interleave therefore runs as a lax.scan
+    over ROW BLOCKS with the J loop unrolled INSIDE each step: the
+    minor-8 intermediate exists only at block scale (~67 MB scratch),
+    and the stacked ys output is naturally row-major (blocks are
+    row-contiguous). Returns (keys (W, R*s_max), ok (R*s_max,)) with
+    slot r*s_max + j."""
+    R = sb.shape[0]
+    W = store.key_words(k, b)
+    nw = sn.shape[0]
+    RB = _row_block(R)
+    n_steps = R // RB
+    xb = sb.reshape(n_steps, RB)
+    xm = sm.reshape(n_steps, RB)
+    xn = jnp.moveaxis(sn.reshape(nw, n_steps, RB), 1, 0)
+
+    def step(_, x):
+        sb_b, sm_b, sn_b = x
+        nucs_t = _nucs_tuple(sb_b, sn_b)
+        cols_k, cols_ok = [], []
+        for J in range(s_max):
+            keys, ok = _expand_one_j(sb_b, sm_b, nucs_t, U32(J), k, m, b)
+            cols_k.append(jnp.where(ok[None, :], keys, _INVALID))
+            cols_ok.append(ok)
+        keys_b = jnp.stack(cols_k, axis=-1).reshape(W, RB * s_max)
+        ok_b = jnp.stack(cols_ok, axis=-1).reshape(RB * s_max)
+        return None, (keys_b, ok_b)
+
+    _, (yk, yok) = jax.lax.scan(step, None, (xb, xm, xn))
+    keys = jnp.moveaxis(yk, 0, 1).reshape(W, R * s_max)
+    ok = yok.reshape(R * s_max)
+    return keys, ok
 
 
-@partial(jax.jit, static_argnames=("k", "m", "b", "s_max", "R_pad"),
-         donate_argnums=(0, 1, 2, 4))
-def _finalize_fresh_fused(bucket, meta, nucs, n_rows, offs,
-                          k: int, m: int, b: int, s_max: int, R_pad: int):
-    """ONE device program for the dominant finalize case: the whole arena
-    is fresh (f == 0 — the post-ingest finalize). Fuses what used
-    to be 5 dispatches (tail sort, strided expand, consolidate sort,
-    back-sort, offs) with 3 scalar readbacks in between; on the tunneled
-    runtime each dispatch/readback is a ~0.1-0.2 s round-trip and the
-    multi-buffer scan-carry expand copied its output buffers every step
-    (measured 1.36 s for work whose HBM traffic is ~20 ms at
-    speed-of-light).
+def _interleave_cols(cols, R: int, s_max: int):
+    """s_max column arrays (R,) -> (R*s_max,) row-major, block-scanned
+    (see _expand_span's layout note)."""
+    RB = _row_block(R)
+    n_steps = R // RB
+    xs = tuple(c.reshape(n_steps, RB) for c in cols)
 
-    Key cost cuts vs the unfused path:
-      * expand emits via lax.scan YS stacking (J-major), never a carry
-        copy;
-      * ONE u32 tag orders everything (row*s_max+j is the arena slot
-        order after the in-program bucket sort; dead = 0xFFFFFFFF) —
-        the old (hi, lo) pair moved 2 words through both sorts;
-      * fresh slots all carry count 1, so the consolidate sort carries
-        NO count operand (derived from tag != INVALID);
-      * counts stay at S2 width (no total_k-shaped slice program).
+    def step(_, x):
+        return None, jnp.stack(x, axis=-1).reshape(RB * s_max)
 
-    Returns (bucket', meta', nucs', offs', data (S2,), n_live_rows,
-    total_k). Rows beyond R_pad are untouched (caller guarantees
-    n_rows <= R_pad <= rcap)."""
+    _, y = jax.lax.scan(step, None, xs)
+    return y.reshape(R * s_max)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "m", "b", "s_max", "R_pad",
+                          "carry_counts", "drop_dead"),
+         donate_argnums=(0, 1, 2, 3, 4))
+def _finalize_span_fused(bucket, meta, nucs, data, offs, f, n_rows,
+                         k: int, m: int, b: int, s_max: int, R_pad: int,
+                         carry_counts: bool, drop_dead: bool):
+    """ONE device program finalizing rows [f, n_rows) (span width R_pad
+    >= n_rows - f): bucket-group the span's rows, expand to per-slot
+    packed keys, consolidate duplicate counts (chunked), write padded
+    counts + rows + offs back into the donated arena at [f, f+R_pad).
+
+    carry_counts: span rows may already be finalized — their padded
+    count columns ride the row sort and feed the consolidation (the
+    consolidate_all path); False = all span rows fresh (count 1/slot,
+    one less sort operand). drop_dead (requires carry_counts): after
+    consolidation, rows whose every slot total is zero are dropped
+    (stable partition; the reference's merge drops nothing, but its
+    insert-time dedup never creates dead entries — ours do, one per
+    consolidated duplicate row).
+
+    Returns (bucket', meta', nucs', data', offs', n_live_rows,
+    total_k_span)."""
     W = store.key_words(k, b)
     nw = nucs.shape[0]
     S2 = R_pad * s_max
     iota = jnp.arange(R_pad, dtype=U32)
-    in_rows = iota < n_rows.astype(U32)
+    z = jnp.int32(0)
+    span_n = (n_rows - f).astype(jnp.int32)
+    b_t = jax.lax.dynamic_slice(bucket, (f,), (R_pad,))
+    m_t = jax.lax.dynamic_slice(meta, (f,), (R_pad,))
+    n_t = jax.lax.dynamic_slice(nucs, (z, f), (nw, R_pad))
+    in_span = iota < span_n.astype(U32)
+    b_t = jnp.where(in_span, b_t, _INVALID)
 
-    # 1) bucket-group the rows (stable in arena order); INVALID rows last
-    b_t = jax.lax.dynamic_slice(bucket, (jnp.int32(0),), (R_pad,))
-    m_t = jax.lax.dynamic_slice(meta, (jnp.int32(0),), (R_pad,))
-    n_t = jax.lax.dynamic_slice(nucs, (jnp.int32(0), jnp.int32(0)),
-                                (nw, R_pad))
-    b_t = jnp.where(in_rows, b_t, _INVALID)
-    srt = jax.lax.sort((b_t, iota, m_t) + tuple(n_t[i] for i in range(nw)),
-                       num_keys=2)
-    sb, sm = srt[0], srt[2]
-    sn = jnp.stack(srt[3:])
+    cnt_ops = ()
+    if carry_counts:
+        d_t = jax.lax.dynamic_slice(data, (f * s_max,), (S2,))
+        cnt_ops = tuple(d_t[j::s_max] for j in range(s_max))
+    # 1) bucket-group the span rows (stable in span order)
+    ops = (b_t, iota, m_t) + tuple(n_t[i] for i in range(nw)) + cnt_ops
+    srt = jax.lax.sort(ops, num_keys=2)
+    sb, s_orig, sm = srt[0], srt[1], srt[2]
+    sn = jnp.stack(srt[3:3 + nw])
     n_live = jnp.sum(sb != _INVALID).astype(jnp.int32)
 
-    # 2) expand each row's k-mers to packed keys, J-major via scan ys
-    nucs_t = _nucs_tuple(sb, sn)
+    # 2) expand to row-major per-slot keys
+    keys, ok = _expand_span(sb, sm, sn, k, m, b, s_max)
 
-    def step(_, J):
-        keys, ok = _expand_one_j(sb, sm, nucs_t, J, k, m, b)
-        keys = jnp.where(ok[None, :], keys, _INVALID)
-        tag = jnp.where(ok, iota * U32(s_max) + J, _INVALID)
-        return None, (keys, tag)
+    # 3) consolidate (chunked batched sorts)
+    if carry_counts:
+        scnt = _interleave_cols(srt[3 + nw:], R_pad, s_max)
+        scnt = jnp.where(ok, scnt, 0)
+        totals = _consolidate_chunked(keys, None, scnt, S2)
+    else:
+        totals = _consolidate_chunked(keys, None, None, S2)
 
-    _, (jk, jtag) = jax.lax.scan(step, None,
-                                 jnp.arange(s_max, dtype=U32))
-    keys = jnp.moveaxis(jk, 0, 1).reshape(W, S2)   # (W, S2) J-major
-    tag = jtag.reshape(S2)
+    # 4) optional dead-row drop (stable live-first partition; padded
+    # layout makes the per-row slot view a pure reshape)
+    if drop_dead:
+        tcols = tuple(totals[j::s_max] for j in range(s_max))
+        row_alive = sb != _INVALID
+        any_cnt = jnp.zeros_like(sb, dtype=bool)
+        for j in range(s_max):
+            any_cnt = any_cnt | (tcols[j] > 0)
+        row_alive = row_alive & any_cnt
+        part_key = jnp.where(row_alive, iota, _INVALID)
+        ops2 = (part_key, sb, sm) + tuple(sn[i] for i in range(nw)) \
+            + tcols
+        out2 = jax.lax.sort(ops2, num_keys=1)
+        alive_s = out2[0] != _INVALID
+        sb = jnp.where(alive_s, out2[1], _INVALID)
+        sm = out2[2]
+        sn = jnp.stack(out2[3:3 + nw])
+        totals = _interleave_cols(
+            tuple(jnp.where(alive_s, c, 0) for c in out2[3 + nw:]),
+            R_pad, s_max)
+        n_live = jnp.sum(alive_s).astype(jnp.int32)
 
-    # 3) consolidate: sort by key (tag rides along), run totals on one
-    # slot per run, back-sort by tag -> arena slot order
-    out = jax.lax.sort(tuple(keys[i] for i in range(W)) + (tag,),
-                       num_keys=W)
-    s_tag = out[W]
-    live_s = s_tag != _INVALID
-    first = jnp.zeros(S2, dtype=bool).at[0].set(True)
-    neq = jnp.zeros(S2, dtype=bool)
-    for i in range(W):
-        neq = neq | (out[i] != jnp.roll(out[i], 1))
-    first = first | neq
-    cnt = live_s.astype(U32)
-    csum = jnp.cumsum(cnt, dtype=jnp.uint32)
-    is_last = jnp.roll(first, -1).at[-1].set(True)
-    last_csum = jax.lax.cummin(
-        jnp.where(is_last, csum, U32(0xFFFFFFFF)), reverse=True)
-    totals = jnp.where(first & live_s, last_csum - (csum - cnt), 0)
-    back = jax.lax.sort((s_tag, totals), num_keys=1)
-    data = back[1]
-
-    # 4) offs + total over the sorted live prefix
+    # 5) sizes / offs / write-back
     sizes = jnp.where(sb != _INVALID, sm & U32(0xFF), 0)
-    csz = jnp.cumsum(sizes, dtype=jnp.uint32)
-    offs_new = jnp.where(sb != _INVALID, csz - sizes, 0).astype(U32)
-    total_k = csz[-1].astype(jnp.int32)
+    total_k = jnp.sum(sizes, dtype=jnp.uint32).astype(jnp.int32)
+    offs_new = (f.astype(U32) + iota) * U32(s_max)
+    bucket = jax.lax.dynamic_update_slice(bucket, sb, (f,))
+    meta = jax.lax.dynamic_update_slice(meta, sm, (f,))
+    nucs = jax.lax.dynamic_update_slice(nucs, sn, (z, f))
+    offs = jax.lax.dynamic_update_slice(offs, offs_new, (f,))
+    data = jax.lax.dynamic_update_slice(data, totals, (f * s_max,))
+    return bucket, meta, nucs, data, offs, n_live, total_k
 
-    # 5) write the sorted rows back into the donated arena prefix
-    z = jnp.int32(0)
-    bucket = jax.lax.dynamic_update_slice(bucket, sb, (z,))
-    meta = jax.lax.dynamic_update_slice(meta, sm, (z,))
-    nucs = jax.lax.dynamic_update_slice(nucs, sn, (z, z))
-    offs = jax.lax.dynamic_update_slice(offs, offs_new, (z,))
-    return bucket, meta, nucs, offs, data, n_live, total_k
+
+def _ensure_span_caps(state: SklState, f: int, R_pad: int, s_max: int
+                      ) -> SklState:
+    """Grow the arena so rows [f, f+R_pad) and data slots
+    [f*s_max, (f+R_pad)*s_max) exist, in family-shaped capacities."""
+    need_r = f + R_pad
+    need_d = need_r * s_max
+    rcap = state.bucket.shape[0]
+    dcap = state.data.shape[0]
+    new_r = rcap
+    while new_r < need_r:
+        new_r *= 2
+    new_d = dcap if dcap >= need_d else _shape_family(need_d)
+    if new_r != rcap or new_d != dcap:
+        state = grow(state, new_r, new_d)
+    return state
+
+
+def finalize_span_dispatch(state: SklState, F: int, span_ub: int,
+                           k: int, m: int, b: int):
+    """DISPATCH the span finalize of rows [F, n_rows) without any host
+    round-trip: the program reads the DEVICE n_rows scalar and the span
+    width comes from a host UPPER BOUND (span_ub >= n_rows), so the call
+    queues straight behind in-flight insert flushes — the caller's
+    retire/repair bookkeeping then overlaps with its execution. Returns
+    (state-with-new-arrays, n_live_dev, total_k_dev) — n_rows/n_fin are
+    NOT yet updated (fold them after reading the scalars) — or None when
+    span_ub <= F."""
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    if span_ub <= F:
+        return None
+    R_pad = _shape_family(span_ub - F, floor=1 << 10)
+    assert (F + R_pad) * s_max < (1 << 32) - 1, "tag32/offs overflow"
+    state = _ensure_span_caps(state, F, R_pad, s_max)
+    bucket, meta, nucs, data, offs, n_live, total_k = \
+        _finalize_span_fused(state.bucket, state.meta, state.nucs,
+                             state.data, state.offs,
+                             jnp.int32(F), state.n_rows,
+                             k=k, m=m, b=b, s_max=s_max, R_pad=R_pad,
+                             carry_counts=False, drop_dead=False)
+    return (state._replace(bucket=bucket, meta=meta, nucs=nucs,
+                           data=data, offs=offs),
+            n_live, total_k)
 
 
 def finalize_device(state: SklState, k: int, m: int, b: int) -> SklState:
-    """Device-resident finalize: consolidate duplicate k-mer counts,
-    bucket-group the fresh row tail — everything in HBM; the host reads
-    only scalars (the transfer-bound host finalize above moved ~2 GB
-    over a ~12 MB/s tunnel).
-
-    Round-4 redesign: rows are bucket-sorted BEFORE expansion (the fresh
-    tail only), so after consolidation data[t] is simply the dense-slot
-    totals in arena order — no post-hoc row/slot permutation. The round-3
-    `_rebuild_rows` mega-program (three (rcap+S2)-wide merge-join sorts)
-    made the remote TPU compiler OOM at 50 Mb scale and is gone. Each
-    finalize leaves the arena as a sequence of bucket-grouped SEGMENTS
-    ([0, prior n_fin) segments + the newly sorted tail); lookups probe
-    each segment (api tracks the boundaries — reference analog: the
-    sorted-prefix/unsorted-tail split per bucket, buckets.hpp:166-189).
-    Rows whose every slot consolidated to zero are NOT dropped (they
-    cost arena space until a full rebuild; correctness is unaffected —
-    zero-count slots add nothing to probes)."""
+    """Span finalize of the fresh tail [F, N): consolidates the tail
+    into a new bucket-grouped segment (ONE fused device program; the
+    prefix is untouched — its data stays position-aligned). Counts of
+    k-mers duplicated ACROSS segments stay split (sum semantics);
+    consolidate_all() merges them and drops dead rows."""
     cs, s_max, nt_max, nw = skl_dims(k, m, b)
     F, N = int(state.n_fin_rows), int(state.n_rows)
     if N == 0:
         return empty(state.bucket.shape[0], state.data.shape[0], nw)
     if N == F:
         return state  # fully finalized already (idempotent)
-    if F == 0:
-        # post-ingest finalize: the whole arena is fresh — ONE fused
-        # device program (round 5; the 5-dispatch path below cost ~3x
-        # its device time in tunnel round-trips and scan-carry copies)
-        R_pad = _shape_family(N, floor=1 << 10)
-        assert (R_pad * s_max) < (1 << 32) - 1, "tag32 overflow"
-        if R_pad > state.bucket.shape[0]:
-            state = grow(state, 1 << (R_pad - 1).bit_length(),
-                         state.data.shape[0])
-        bucket, meta, nucs, offs, data, n_live, total_k = \
-            _finalize_fresh_fused(state.bucket, state.meta, state.nucs,
-                                  jnp.int32(N), state.offs,
-                                  k=k, m=m, b=b, s_max=s_max, R_pad=R_pad)
-        nl, tk = jax.device_get((n_live, total_k))
-        return SklState(bucket=bucket, meta=meta, nucs=nucs, data=data,
-                        offs=offs, n_rows=jnp.int32(int(nl)),
-                        n_fin_rows=jnp.int32(int(nl)),
-                        n_fin_kmers=jnp.int32(int(tk)))
-    wp = 1 << max(10, (N - F - 1).bit_length())
-    if F + wp > state.bucket.shape[0]:
-        state = grow(state, 1 << (F + wp - 1).bit_length(),
-                     state.data.shape[0])
-    bucket, meta, nucs, n_live_t = _bucket_sort_tail(
-        state.bucket, state.meta, state.nucs, jnp.int32(F), wp=wp)
-    N = F + int(n_live_t)
-    state = state._replace(bucket=bucket, meta=meta, nucs=nucs,
-                           n_rows=jnp.int32(N))
-    keys, tag_hi, tag_lo, counts, n_slots, total_ub = expand_device(
-        state, k, m, b)
-    arena_counts = _consolidate_dense(keys, tag_hi, tag_lo, counts)
-    offs, total_k = _offs_total(state.bucket, state.meta, state.n_rows)
-    tk = int(total_k)
-    kcap = _shape_family(tk, floor=1 << 14)
-    data = arena_counts
-    if kcap <= data.shape[0]:
-        data = jax.lax.dynamic_slice(data, (0,), (kcap,))
-    else:
-        data = jnp.pad(data, (0, kcap - data.shape[0]))
-    return state._replace(data=data, offs=offs,
-                          n_fin_rows=jnp.int32(N),
-                          n_fin_kmers=jnp.int32(tk))
+    disp = finalize_span_dispatch(state, F, N, k, m, b)
+    state, n_live, total_k = disp
+    nl, tk = jax.device_get((n_live, total_k))
+    return state._replace(n_rows=jnp.int32(F + int(nl)),
+                          n_fin_rows=jnp.int32(F + int(nl)),
+                          n_fin_kmers=state.n_fin_kmers
+                          + jnp.int32(int(tk)))
+
+
+def consolidate_all(state: SklState, k: int, m: int, b: int) -> SklState:
+    """Whole-arena maintenance (reference buckets.hpp:166-189 merge
+    analog): re-consolidates EVERY row into one bucket-grouped segment,
+    merges cross-segment duplicate counts onto one slot, drops dead
+    rows. O(N) memory — for arenas too large for one pass, keep
+    segment-local finalizes and accept split counts (sum semantics)."""
+    cs, s_max, nt_max, nw = skl_dims(k, m, b)
+    F, N = int(state.n_fin_rows), int(state.n_rows)
+    if N == 0:
+        return empty(state.bucket.shape[0], state.data.shape[0], nw)
+    if F != N:
+        state = finalize_device(state, k, m, b)
+        N = int(state.n_rows)
+    R_pad = _shape_family(N, floor=1 << 10)
+    state = _ensure_span_caps(state, 0, R_pad, s_max)
+    bucket, meta, nucs, data, offs, n_live, total_k = \
+        _finalize_span_fused(state.bucket, state.meta, state.nucs,
+                             state.data, state.offs,
+                             jnp.int32(0), jnp.int32(N),
+                             k=k, m=m, b=b, s_max=s_max, R_pad=R_pad,
+                             carry_counts=True, drop_dead=True)
+    nl, tk = jax.device_get((n_live, total_k))
+    return SklState(bucket=bucket, meta=meta, nucs=nucs, data=data,
+                    offs=offs, n_rows=jnp.int32(int(nl)),
+                    n_fin_rows=jnp.int32(int(nl)),
+                    n_fin_kmers=jnp.int32(int(tk)))
+
+
+@partial(jax.jit, static_argnames=("k", "m", "b", "s_max", "R_pad"))
+def _expand_all_padded(bucket_c, meta_c, nucs_c, data_c,
+                       k: int, m: int, b: int, s_max: int, R_pad: int):
+    """(keys (W, S2) row-major, counts (S2,)) of a FINALIZED arena
+    prefix — counts are POSITIONAL under the padded layout (no sorts,
+    no gathers, no tags)."""
+    keys, ok = _expand_span(bucket_c, meta_c, nucs_c, k, m, b, s_max)
+    cnt = jnp.where(ok, data_c, 0)
+    return keys, cnt
+
+
+def expand_device(state: SklState, k: int, m: int, b: int):
+    """Whole finalized arena -> (keys (W, S2) INVALID-padded row-major,
+    counts (S2,)). Device-resident, sort-free (padded data layout)."""
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    F = int(state.n_fin_rows)
+    R_pad = _shape_family(max(F, 1), floor=1 << 8)
+    state = _ensure_span_caps(state, 0, R_pad, s_max)
+    z = jnp.int32(0)
+    bucket_c = jax.lax.dynamic_slice(state.bucket, (z,), (R_pad,))
+    meta_c = jax.lax.dynamic_slice(state.meta, (z,), (R_pad,))
+    nucs_c = jax.lax.dynamic_slice(state.nucs, (z, z), (nw, R_pad))
+    data_c = jax.lax.dynamic_slice(state.data, (z,), (R_pad * s_max,))
+    iota = jnp.arange(R_pad, dtype=U32)
+    bucket_c = jnp.where(iota < U32(F), bucket_c, _INVALID)
+    return _expand_all_padded(bucket_c, meta_c, nucs_c, data_c,
+                              k=k, m=m, b=b, s_max=s_max, R_pad=R_pad)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _distinct_count_program(keys, W: int):
+    S2 = keys.shape[1]
+    out = jax.lax.sort(tuple(keys[i] for i in range(W)), num_keys=W)
+    first = jnp.zeros(S2, dtype=bool).at[0].set(True)
+    neq = jnp.zeros(S2, dtype=bool)
+    for i in range(W):
+        neq = neq | (out[i] != jnp.roll(out[i], 1))
+    first = first | neq
+    dead = out[0] == _INVALID
+    for i in range(1, W):
+        dead = dead & (out[i] == _INVALID)
+    return jnp.sum(first & ~dead, dtype=jnp.int32)
+
+
+def distinct_count(state: SklState, k: int, m: int, b: int) -> int:
+    """EXACT number of distinct stored keys (a global key sort, off the
+    hot path — chunk/segment-local consolidation leaves split counts, so
+    count_nonzero(data) would overcount)."""
+    if int(state.n_fin_rows) == 0:
+        return 0
+    keys, _ = expand_device(state, k, m, b)
+    W = store.key_words(k, b)
+    return int(_distinct_count_program(keys, W=W))
 
 
 # -- serving lookups from the finalized arena (C8 as the backing store) --
@@ -977,13 +954,11 @@ def expanded_state(state: SklState, k: int, m: int, b: int):
     expand_device), sort and consolidate into a store.IndexState that
     store.lookup can binary search. This is working memory for the
     duration of a query batch, not resident index state (the resident
-    index is the arena itself — ~(8+4*nw)/avg_size + 4 bytes per
-    k-mer)."""
-    keys, tag_hi, tag_lo, counts, n_slots, total_k = expand_device(
-        state, k, m, b)
+    index is the arena itself)."""
+    keys, counts = expand_device(state, k, m, b)
     st = store.IndexState(keys=keys, data=counts,
                           n_sorted=jnp.int32(0),
-                          n_used=n_slots)
+                          n_used=jnp.int32(keys.shape[1]))
     return store.compact_fast(st)
 
 
@@ -1079,35 +1054,193 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
     return found, counts.astype(np.uint32)
 
 
+def host_cache(state: SklState) -> dict:
+    """One-time host copy of the finalized arena columns for the
+    serving-grade lookup path (probe_np): ~(12+4*nw) B/row + 4 B/slot,
+    fetched in family-shaped transfers. Build once after finalize; every
+    subsequent get()/get_many() is pure numpy — zero device round-trips
+    (VERDICT r4 item 5a: the reference's find_kmer, buckets.hpp:499-519,
+    is a host-memory scan too)."""
+    n = int(state.n_fin_rows)
+    offs = fetch_rows(state.offs, 0, n)
+    need = (int(offs[-1]) + 64) if n else 64  # padded layout: last
+    #                                row's slots end at offs[-1] + s_max
+    return dict(
+        bucket=fetch_rows(state.bucket, 0, n),
+        meta=fetch_rows(state.meta, 0, n),
+        nucs=fetch_rows(state.nucs, 0, n),
+        offs=offs,
+        data=fetch_rows(state.data, 0, min(need, state.data.shape[0])),
+        n_fin_rows=n)
+
+
+def _expand_rows_np(bucket, meta, nucs, k: int, m: int, b: int):
+    """Numpy expansion of a small row slice to per-slot packed keys —
+    the host-side mirror of _expand_one_j over all J (u64-pair u128
+    math). Returns (keys (W, R*s_max) big-endian words, ok (R*s_max,)
+    row-major J-minor slot order: slot r*s_max+j)."""
+    from brisk_tpu.index import store as store_mod
+    U64 = np.uint64
+    m_reduc = m - b
+    suffix_reduc = (m_reduc + 1) // 2
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    R = bucket.shape[0]
+    size = (meta & 0xFF).astype(np.int64)
+    mini = ((meta >> 8) & 0xFF).astype(np.int64)
+    live = bucket != 0xFFFFFFFF
+    # nucs words -> (hi, lo) u64 (nt_max <= 56 bases = 112 bits)
+    nu = nucs.astype(U64)
+    lo = nu[0] | (nu[1] << U64(32)) if nw >= 2 else nu[0]
+    hi = np.zeros(R, dtype=U64)
+    if nw >= 3:
+        hi = nu[2]
+    if nw >= 4:
+        hi |= nu[3] << U64(32)
+
+    def shr128(h, l, s):
+        s = s.astype(U64)
+        with np.errstate(over="ignore"):
+            big = s >= U64(64)
+            s1 = np.where(big, s - U64(64), s)
+            nl = np.where(big, h >> s1,
+                          np.where(s1 == 0, l,
+                                   (l >> s1) | (h << (U64(64) - s1))))
+            nh = np.where(big, U64(0), np.where(s1 == 0, h, h >> s1))
+            return nh, nl
+
+    def shl128(h, l, s):
+        s = s.astype(U64)
+        with np.errstate(over="ignore"):
+            big = s >= U64(64)
+            s1 = np.where(big, s - U64(64), s)
+            nh = np.where(big, l << s1,
+                          np.where(s1 == 0, h,
+                                   (h << s1) | (l >> (U64(64) - s1))))
+            nl = np.where(big, U64(0), np.where(s1 == 0, l, l << s1))
+            return nh, nl
+
+    def mask128(h, l, bits):
+        if bits >= 128:
+            return h, l
+        if bits >= 64:
+            return h & U64((1 << (bits - 64)) - 1), l
+        return np.zeros_like(h), l & U64((1 << bits) - 1)
+
+    W = store_mod.key_words(k, b)
+    keys = np.full((W, R * s_max), 0xFFFFFFFF, dtype=np.uint32)
+    ok_all = np.zeros(R * s_max, dtype=bool)
+    ones = U64(0xFFFFFFFFFFFFFFFF)
+    for jj in range(s_max):
+        ok = live & (jj < size)
+        sh = 2 * np.where(ok, size - 1 - jj, 0)
+        wh, wl = shr128(hi, lo, sh)
+        wh, wl = mask128(wh, wl, 2 * cs)
+        h_off = np.where(ok, mini - (size - 1 - jj), 0)
+        sh_h = 2 * h_off
+        # low = win & ((1 << sh_h) - 1)  (sh_h <= 2*mini <= ~110 bits)
+        mh, ml = shl128(np.full(R, ones), np.full(R, ones),
+                        np.asarray(sh_h))
+        lh, ll = wh & ~mh, wl & ~ml
+        th, tl = shr128(wh, wl, np.asarray(sh_h))
+        hh, hl = shl128(th, tl, np.asarray(sh_h + 2 * b))
+        bh, bl = shl128(np.zeros(R, U64), bucket.astype(U64),
+                        np.asarray(sh_h))
+        kh = lh | hh | bh
+        kl = ll | hl | bl
+        kh, kl = mask128(kh, kl, 2 * k)
+        full_mini = np.where(ok, h_off - suffix_reduc, 0).astype(U64)
+        # pack: bucket | kmer | mini_idx, big-endian words
+        le = [np.zeros(R, dtype=np.uint32) for _ in range(W)]
+
+        def deposit(val, bitpos, width):
+            with np.errstate(over="ignore"):
+                for w in range(W):
+                    base = 32 * w
+                    if base + 32 <= bitpos or base >= bitpos + width:
+                        continue
+                    if base >= bitpos:
+                        word = val >> U64(base - bitpos)
+                    else:
+                        word = val << U64(bitpos - base)
+                    le[w] |= (word & U64(0xFFFFFFFF)).astype(np.uint32)
+
+        deposit(full_mini, 0, 8)
+        deposit(kl, 8, min(64, 2 * k))
+        if 2 * k > 64:
+            deposit(kh, 72, 2 * k - 64)
+        deposit(bucket.astype(U64), 8 + 2 * k, 2 * b)
+        col = np.stack(le[::-1])
+        keys[:, jj::s_max] = np.where(ok[None, :], col, 0xFFFFFFFF)
+        ok_all[jj::s_max] = ok
+    return keys, ok_all
+
+
+def probe_np(cache: dict, packed_cols: np.ndarray, bucket_id: int,
+             k: int, m: int, b: int, segments=None):
+    """Serving-grade lookup from a host arena cache (host_cache): binary
+    search the bucket's row runs, numpy-expand them, compare — zero
+    device work (reference find_kmer, buckets.hpp:499-519). Returns
+    (found (Q,) bool, counts (Q,) u32 raw sums)."""
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    n = cache["n_fin_rows"]
+    if segments is None:
+        segments = [(0, n)]
+    Q = packed_cols.shape[1]
+    found = np.zeros(Q, bool)
+    counts = np.zeros(Q, np.uint64)
+    bcol = cache["bucket"]
+    for lo_s, hi_s in segments:
+        seg = bcol[lo_s:hi_s]
+        l = lo_s + int(np.searchsorted(seg, bucket_id, side="left"))
+        h = lo_s + int(np.searchsorted(seg, bucket_id, side="right"))
+        if h <= l:
+            continue
+        keys, ok = _expand_rows_np(cache["bucket"][l:h],
+                                   cache["meta"][l:h],
+                                   cache["nucs"][:, l:h], k, m, b)
+        offs = cache["offs"][l:h].astype(np.int64)
+        sizes = (cache["meta"][l:h] & 0xFF).astype(np.int64)
+        slot_data = np.zeros((h - l) * s_max, np.uint32)
+        for jj in range(s_max):
+            sel = jj < sizes
+            slot_data[jj::s_max][sel] = cache["data"][
+                (offs + jj)[sel]]
+        eq = np.ones((Q, keys.shape[1]), bool)
+        for i in range(keys.shape[0]):
+            eq &= keys[i][None, :] == packed_cols[i][:, None]
+        eq &= ok[None, :]
+        found |= eq.any(axis=1)
+        counts += (eq * slot_data[None, :].astype(np.uint64)).sum(axis=1)
+    return found, counts.astype(np.uint32)
+
+
 @partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
 def _expand_join_dense(bucket_c, meta_c, nucs_c, data_c, f_live,
                        k: int, m: int, b: int, s_max: int):
     """(keys, cnt) of a FINALIZED arena for the query join — like
     _expand_dense_prefix but without tags (the join never looks at slot
-    order). Scan over J (see _expand_one_j) + one live-first sort to
-    align counts with data positions."""
+    order). Scan over J emitting stacked YS (a scan-CARRY output buffer
+    copies the whole buffer every step — measured 2.1 s for ~0.5 s of
+    real work, round 5) + one live-first sort to align counts with data
+    positions."""
     R = bucket_c.shape[0]
     W = store.key_words(k, b)
     n = R * s_max
     nucs_t = _nucs_tuple(bucket_c, nucs_c)
-    jk = jnp.full((W, n), _INVALID, dtype=U32)
-    jorder = jnp.full((n,), _INVALID, dtype=U32)
     r_iota = jnp.arange(R, dtype=U32)
     row_live = r_iota < f_live.astype(U32)
 
-    def step(carry, J):
-        jk_, jo_ = carry
+    def step(_, J):
         keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
         ok = ok & row_live
         keys = jnp.where(ok[None, :], keys, _INVALID)
         order = jnp.where(ok, r_iota * U32(s_max) + J, _INVALID)
-        pos = (J * U32(R)).astype(jnp.int32)
-        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
-        jo_ = jax.lax.dynamic_update_slice(jo_, order, (pos,))
-        return (jk_, jo_), None
+        return None, (keys, order)
 
-    (jk, jorder), _ = jax.lax.scan(step, (jk, jorder),
+    _, (jk, jorder) = jax.lax.scan(step, None,
                                    jnp.arange(s_max, dtype=U32))
+    jk = jnp.moveaxis(jk, 0, 1).reshape(W, n)
+    jorder = jorder.reshape(n)
     out = jax.lax.sort((jorder,) + tuple(jk[i] for i in range(W)),
                        num_keys=1)
     live_s = out[0] != _INVALID
@@ -1120,59 +1253,40 @@ def _expand_join_dense(bucket_c, meta_c, nucs_c, data_c, f_live,
 @partial(jax.jit, static_argnames=("k", "m", "b", "s_max"))
 def _expand_join_strided(bucket_c, meta_c, nucs_c,
                          k: int, m: int, b: int, s_max: int):
-    """(keys, live) of a FRESH arena for the query join — scan over J,
-    J-major, no sort, no tags."""
+    """(keys, live) of a FRESH arena for the query join — scan over J
+    emitting stacked YS, J-major, no sort, no tags."""
     R = bucket_c.shape[0]
     W = store.key_words(k, b)
     n = R * s_max
     nucs_t = _nucs_tuple(bucket_c, nucs_c)
-    jk = jnp.full((W, n), _INVALID, dtype=U32)
-    jc = jnp.zeros((n,), dtype=U32)
 
-    def step(carry, J):
-        jk_, jc_ = carry
+    def step(_, J):
         keys, ok = _expand_one_j(bucket_c, meta_c, nucs_t, J, k, m, b)
         keys = jnp.where(ok[None, :], keys, _INVALID)
-        pos = (J * U32(R)).astype(jnp.int32)
-        jk_ = jax.lax.dynamic_update_slice(jk_, keys, (jnp.int32(0), pos))
-        jc_ = jax.lax.dynamic_update_slice(jc_, ok.astype(U32), (pos,))
-        return (jk_, jc_), None
+        return None, (keys, ok.astype(U32))
 
-    (jk, jc), _ = jax.lax.scan(step, (jk, jc),
-                               jnp.arange(s_max, dtype=U32))
-    return jk, jc
+    _, (jk, jc) = jax.lax.scan(step, None, jnp.arange(s_max, dtype=U32))
+    return (jnp.moveaxis(jk, 0, 1).reshape(W, n), jc.reshape(n))
 
 
 def expand_for_join(state: SklState, k: int, m: int, b: int):
     """(keys (W, S), counts (S,)) of an arena for the query join. The
-    arena must be fully finalized (counts = consolidated data) or fully
-    fresh (counts = 1 per live slot)."""
+    arena must be fully finalized (padded positional counts,
+    expand_device) or fully fresh (counts = 1 per live slot)."""
     cs, s_max, _, nw = skl_dims(k, m, b)
     F = int(state.n_fin_rows)
     N = int(state.n_rows)
+    if F == N:  # finalized index
+        return expand_device(state, k, m, b)
+    assert F == 0, "join expansion needs a fully fresh or finalized arena"
     R_pad = _shape_family(max(N, 1), floor=1 << 8)
     if R_pad > state.bucket.shape[0]:
         state = grow(state, 1 << (R_pad - 1).bit_length(),
                      state.data.shape[0])
-
-    def rows(width):
-        bucket_c = jax.lax.dynamic_slice(state.bucket, (0,), (width,))
-        meta_c = jax.lax.dynamic_slice(state.meta, (0,), (width,))
-        nucs_c = jax.lax.dynamic_slice(state.nucs, (0, 0),
-                                       (state.nucs.shape[0], width))
-        return bucket_c, meta_c, nucs_c
-
-    bucket_c, meta_c, nucs_c = rows(R_pad)
-    if F == N:  # finalized index
-        need = R_pad * s_max
-        if state.data.shape[0] < need:
-            dslice = jnp.pad(state.data, (0, need - state.data.shape[0]))
-        else:
-            dslice = state.data[:need]
-        return _expand_join_dense(bucket_c, meta_c, nucs_c, dslice,
-                                  jnp.int32(F), k=k, m=m, b=b,
-                                  s_max=s_max)
-    assert F == 0, "join expansion needs a fully fresh or finalized arena"
+    bucket_c = jax.lax.dynamic_slice(state.bucket, (0,), (R_pad,))
+    meta_c = jax.lax.dynamic_slice(state.meta, (0,), (R_pad,))
+    nucs_c = jax.lax.dynamic_slice(state.nucs, (0, 0),
+                                   (state.nucs.shape[0], R_pad))
     return _expand_join_strided(bucket_c, meta_c, nucs_c,
                                 k=k, m=m, b=b, s_max=s_max)
 
@@ -1181,11 +1295,16 @@ def expand_for_join(state: SklState, k: int, m: int, b: int):
 def _query_join_partials(ikeys, icnt, qkeys, qlive):
     """Sum of index counts over a batch of query slots via ONE
     sort-merge join (the binary-search lookup was a 27-step gather per
-    batch — pathological on TPU). Sort puts every index slot (tag 0)
-    before the query slots (tag 1) of the same key; a segmented cumsum
-    of index counts then hands each query slot its key's total (the
-    consolidation invariant makes per-key index sums exact even with
-    zero-count duplicate slots). Returns (256,) u32 partial sums of
+    batch — pathological on TPU). The side TAG rides as the shifted-in
+    LSB of the packed key (the key layout reserves spare top bits, so
+    key << 1 is lossless) and the two payloads (index count / query
+    liveness) share one word — the sort moves 4 operands with 3 key
+    words instead of round 4's 6 operands with 4 keys (the join sort was
+    the measured query wall). Index slots (tag 0) sort before query
+    slots (tag 1) of the same key; a segmented cumsum of index counts
+    hands each query slot its key's total (the consolidation invariant
+    makes per-key index sums exact even with zero-count or
+    partial-count duplicate slots). Returns (256,) u32 partial sums of
     (count mod 256) per query emission — host sums them as python ints
     (a single u32/f32 accumulator would overflow/lose precision at
     ~50M x 255)."""
@@ -1193,24 +1312,42 @@ def _query_join_partials(ikeys, icnt, qkeys, qlive):
     Si = ikeys.shape[1]
     Sq = qkeys.shape[1]
     S = Si + Sq
-    keys = tuple(jnp.concatenate([ikeys[i], qkeys[i]]) for i in range(W))
-    tag = jnp.concatenate([jnp.zeros(Si, U32), jnp.ones(Sq, U32)])
-    cnt = jnp.concatenate([icnt, jnp.zeros(Sq, U32)])
-    livq = jnp.concatenate([jnp.zeros(Si, U32), qlive.astype(U32)])
-    out = jax.lax.sort(keys + (tag, cnt, livq), num_keys=W + 1)
-    s_tag, s_cnt, s_liv = out[W], out[W + 1], out[W + 2]
+
+    def shifted(keys, tagbit):
+        out = []
+        for i in range(W):
+            w = keys[i] << U32(1)
+            if i + 1 < W:
+                w = w | (keys[i + 1] >> U32(31))
+            else:
+                w = w | U32(tagbit)
+            out.append(w)
+        return out
+
+    ik_s = shifted(ikeys, 0)
+    qk_s = shifted(qkeys, 1)
+    keys = tuple(jnp.concatenate([ik_s[i], qk_s[i]]) for i in range(W))
+    payload = jnp.concatenate([icnt, qlive.astype(U32)])
+    out = jax.lax.sort(keys + (payload,), num_keys=W)
+    s_pay = out[W]
+    is_q = (out[W - 1] & U32(1)) == U32(1)
     first = jnp.zeros(S, dtype=bool).at[0].set(True)
     neq = jnp.zeros(S, dtype=bool)
     for i in range(W):
-        neq = neq | (out[i] != jnp.roll(out[i], 1))
+        a = out[i]
+        b = jnp.roll(out[i], 1)
+        if i == W - 1:  # ignore the tag bit when detecting key runs
+            a = a & ~U32(1)
+            b = b & ~U32(1)
+        neq = neq | (a != b)
     first = first | neq
-    contrib = jnp.where(s_tag == 0, s_cnt, 0)
+    contrib = jnp.where(~is_q, s_pay, 0)
     c = jnp.cumsum(contrib, dtype=jnp.uint32)
     # csum at each run's start, propagated forward (csum is monotone,
     # so a cummax of run-start snapshots is exactly the forward fill)
     base = jax.lax.cummax(jnp.where(first, c - contrib, 0))
     filled = c - base
-    vals = jnp.where((s_tag == 1) & (s_liv == 1), filled % U32(256), 0)
+    vals = jnp.where(is_q & (s_pay == U32(1)), filled % U32(256), 0)
     # two-level sum: (256, S/256) row sums stay under 2^32
     Xp = 256
     pad = (-S) % Xp
@@ -1234,19 +1371,12 @@ def query_join_total(state: SklState, qstate_box: list,
     # query side holds only its row arena, trim the index expansion to
     # its dense live prefix and FREE the untrimmed buffers, THEN expand
     # the query side.
-    ik0, icnt0 = expand_for_join(state, k, m, b)
-    Si = _shape_family(int(state.n_fin_kmers))
-    if Si < ik0.shape[1]:
-        ik = ik0[:, :Si]
-        icnt = icnt0[:Si]
-    else:
-        ik, icnt = ik0, icnt0
-    del ik0, icnt0
+    ik, icnt = expand_for_join(state, k, m, b)
     qstate = qstate_box.pop()
     qk, qcnt = expand_for_join(qstate, k, m, b)
     del qstate
     Sq = qk.shape[1]
-    CQ = min(Sq, 1 << 25)
+    CQ = min(Sq, 1 << 26)
     total = 0
     for start in range(0, Sq, CQ):
         qc = qk[:, start:start + CQ]
@@ -1263,20 +1393,13 @@ def query_join_total(state: SklState, qstate_box: list,
 
 def query_join_keys_total(state: SklState, qk, qlive,
                           k: int, m: int, b: int,
-                          chunk: int = 1 << 25) -> int:
+                          chunk: int = 1 << 26) -> int:
     """Total stored count over a batch of query PACKED KEYS against a
     FINALIZED arena — the shadow-index-free query path (VERDICT r4
     item 6): the caller enumerates the query file straight to packed
     keys; no second arena is built. qk (W, Sq) u32, qlive (Sq,)
     u32/bool. Chunked over the query slots to bound peak HBM."""
-    ik0, icnt0 = expand_for_join(state, k, m, b)
-    Si = _shape_family(int(state.n_fin_kmers))
-    if Si < ik0.shape[1]:
-        ik = ik0[:, :Si]
-        icnt = icnt0[:Si]
-    else:
-        ik, icnt = ik0, icnt0
-    del ik0, icnt0
+    ik, icnt = expand_for_join(state, k, m, b)
     Sq = qk.shape[1]
     CQ = min(_shape_family(max(Sq, 1)), chunk)
     total = 0
@@ -1345,11 +1468,11 @@ def from_entries(state, k: int, m: int, b: int,
         out_b[start:end] = np.asarray(bb)
         out_m[start:end] = np.asarray(mm)
         out_n[:, start:end] = np.asarray(nn)
-    kcap = max(1024, rcap)
+    # PADDED data layout (round 5): row r's counts at data[r*s_max + j]
+    kcap = _shape_family(max(1024, rcap * s_max))
     data = np.zeros(kcap, dtype=np.uint32)
-    data[:n_live] = counts_np
-    offs = np.zeros(rcap, dtype=np.uint32)
-    offs[:n_live] = np.arange(n_live, dtype=np.uint32)
+    data[0:n_live * s_max:s_max] = counts_np
+    offs = (np.arange(rcap, dtype=np.uint32) * np.uint32(s_max))
     return SklState(
         bucket=jnp.asarray(out_b), meta=jnp.asarray(out_m),
         nucs=jnp.asarray(out_n), data=jnp.asarray(data),
@@ -1357,18 +1480,15 @@ def from_entries(state, k: int, m: int, b: int,
         n_fin_rows=jnp.int32(n_live), n_fin_kmers=jnp.int32(n_live))
 
 
-@jax.jit
-def _count_nonzero_prefix(data: jnp.ndarray, n: jnp.ndarray):
-    iota = jnp.arange(data.shape[0], dtype=jnp.int32)
-    return jnp.sum((iota < n) & (data != 0), dtype=jnp.int32)
-
-
-def stats(state: SklState) -> dict:
+def stats(state: SklState, k: int, m: int, b: int) -> dict:
     n = int(state.n_fin_rows)
     nk = int(state.n_fin_kmers)
-    nw = state.nucs.shape[0]
-    live_counts = int(_count_nonzero_prefix(state.data, jnp.int32(nk)))
-    resident = (8 + 4 * nw) * max(n, 1) + nk  # u8 counts on disk/resident
+    cs, s_max, _, nw = skl_dims(k, m, b)
+    live_counts = distinct_count(state, k, m, b)
+    # rows (bucket+meta+nucs words) + PADDED u8 count slots; the offs
+    # column is fully derivable (offs[r] = r*s_max) and not part of the
+    # storage format
+    resident = (8 + 4 * nw) * max(n, 1) + n * s_max
     return dict(nb_superkmer_rows=n, nb_slots=nk,
                 nb_live_kmers=live_counts,
                 avg_kmers_per_skl=(nk / n) if n else 0.0,

@@ -525,19 +525,14 @@ class ShardedBrisk:
         the per-shard arenas (round 5): every addressable shard's bucket
         slice is probed — spill placement (a key living off its owner
         shard) is invisible because counts sum across shards."""
-        from brisk_tpu.index import sklstore
+        from brisk_tpu.index import keying, sklstore
         p = self.params
         if len(kmer) != p.k:
             raise ValueError(f"need a {p.k}-mer, got {len(kmer)} bases")
         self.finalize()
-        dede = pyref.get_decycling(p.m)
-        km = pyref.str2kmer_record(kmer, p.m, dede)
-        key = pyref.hash_kmer_minimizer(km.kmer, km.minimizer_idx, p.m, dede)
-        slice_hash = pyref.bfc_hash_64(
-            (km.kmer >> (2 * km.minimizer_idx)) & p.m_mask, p.m_mask, dede)
-        bucket = pyref.bucket_id(slice_hash, p)
-        cols = store.pack_key_np(bucket, key, km.minimizer_idx,
-                                 p.k, p.b)[:, None]
+        buckets, cols = keying.key_batch(
+            keying.strs_to_codes([kmer]), p.m, p.b)
+        bucket = int(buckets[0])
         total = 0
         found_any = False
         for d, lskl in self._local_skl():
@@ -632,8 +627,9 @@ class ShardedBrisk:
         shard_entries = {}
         n_live_local = 0
         arena_bytes_local = 0
+        p = self.params
         for d, lskl in self._local_skl():
-            s = sklstore.stats(lskl)
+            s = sklstore.stats(lskl, p.k, p.m, p.b)
             shard_entries[d] = s["nb_superkmer_rows"]
             n_live_local += s["nb_live_kmers"]
             arena_bytes_local += s["resident_bytes"]
@@ -765,11 +761,12 @@ class ShardedBrisk:
             return None
         from brisk_tpu.index import sklstore
         from brisk_tpu.parallel import multihost as mh
+        p = self.params
         self.finalize()
         agg = dict(nb_superkmer_rows=0, nb_slots=0, nb_live_kmers=0,
                    resident_bytes=0)
         for d, lskl in self._local_skl():
-            s = sklstore.stats(lskl)
+            s = sklstore.stats(lskl, p.k, p.m, p.b)
             for key in agg:
                 agg[key] += s[key]
         for key in list(agg):
