@@ -136,14 +136,14 @@ class Brisk:
         mid-run growth changes array shapes, and on TPU every new shape
         pays an executable build/load even with a warm compilation cache
         (~10 s measured for the fused insert program). Estimate: at most
-        one row per 4 k-mers (denser inputs grow mid-run; typical
+        one row per 5 k-mers (denser inputs grow mid-run; typical
         data sits at ~6 k-mers/row), plus a few flushes of in-flight
         slack (NOT _INFLIGHT_DEPTH-proportional: the worst-case per-flush
         row bound is loose, and capacity pressure triggers a drain +
         exact re-check anyway — depth 32 would inflate the arena 8x and
         change every downstream executable shape)."""
         flush_rows = self.stack * self.batch * self.skl_row_cap
-        est = n_bases_estimate // 4 + 5 * flush_rows
+        est = n_bases_estimate // 5 + 5 * flush_rows
         self.skl = sklstore.ensure_room(self.skl, max(0, est
                                                       - int(self.skl.n_rows)))
 
@@ -226,7 +226,8 @@ class Brisk:
                 jax.block_until_ready(out[5])
 
         jobs.append(threading.Thread(target=load_insert))
-        if n_bases_estimate:
+        rcap_now = self.skl.bucket.shape[0]
+        if n_bases_estimate and rcap_now <= (1 << 26):
             # Pre-load the FINALIZE executables too: on the tunneled
             # runtime every program pays a multi-second per-process
             # executable build/load keyed by its shape family; a dummy
@@ -240,33 +241,43 @@ class Brisk:
             # measured warmup ~25%).
             rcap = self.skl.bucket.shape[0]
             nw = self.skl.nucs.shape[0]
-            est_rows = min(max(1024, n_bases_estimate // 6), rcap // 2)
+            # cap at the segment-finalize span scale: huge inputs never
+            # finalize more than ~one segment span at once, and a dummy
+            # at the full-input family would need the whole-arena
+            # expansion's memory (a 500 Mb estimate OOMed the chip)
+            est_rows = min(max(1024, n_bases_estimate // 6), rcap // 2,
+                           1 << 23)
             fam = sklstore._shape_family(est_rows, floor=1 << 8)
             s_max = sklstore.skl_dims(p.k, p.m, p.b)[1]
             fake_sz = min(6, s_max)
 
-            def load_finalize(est):
+            def load_finalizes():
                 # FAKE LIVE rows (size 6 each) so the dummy's total-kmer
                 # count — and therefore the data-arena family — matches
-                # what the real input will produce
+                # what the real input will produce. ONE scratch arena,
+                # reused between the two family dummies (a fresh
+                # full-size arena per dummy tripled peak HBM); runs in
+                # parallel with the insert-program load thread.
                 iota = jnp.arange(rcap, dtype=jnp.uint32)
-                live = iota < jnp.uint32(est)
                 fake = sklstore.empty(rcap, 1 << 14, nw)
-                fake = fake._replace(
-                    bucket=jnp.where(live, jnp.uint32(0), fake.bucket),
-                    meta=jnp.where(live,
-                                   jnp.uint32(fake_sz | (s_max << 8)),
-                                   fake.meta),
-                    n_rows=jnp.int32(est))
-                out = sklstore.finalize_device(fake, p.k, p.m, p.b)
-                jax.block_until_ready(out.data)
+                for est in (fam, sklstore._shape_family(fam + 1,
+                                                        floor=1 << 8)):
+                    if est > rcap // 2:
+                        break
+                    live = iota < jnp.uint32(est)
+                    fake = fake._replace(
+                        bucket=jnp.where(live, jnp.uint32(0),
+                                         fake.bucket),
+                        meta=jnp.where(live,
+                                       jnp.uint32(fake_sz
+                                                  | (s_max << 8)),
+                                       fake.meta),
+                        n_rows=jnp.int32(est), n_fin_rows=jnp.int32(0),
+                        n_fin_kmers=jnp.int32(0))
+                    fake = sklstore.finalize_device(fake, p.k, p.m, p.b)
+                    jax.block_until_ready(fake.data)
 
-            for est in (fam, sklstore._shape_family(fam + 1,
-                                                    floor=1 << 8)):
-                if est > rcap // 2:
-                    break
-                jobs.append(threading.Thread(target=load_finalize,
-                                             args=(est,)))
+            jobs.append(threading.Thread(target=load_finalizes))
         for t in jobs:
             t.start()
         for t in jobs:
@@ -357,7 +368,58 @@ class Brisk:
         lens = sorted(len(r) for r in records if len(r) >= p.k)
         rec_len = lens[max(0, int(0.9 * len(lens)) - 1)] if lens else None
         packer = self._stream_geometry(rec_len)
+        if rec_len is not None and rec_len <= packer.l_buf:
+            # short-read fast path: records that fit one lane buffer are
+            # batch-built with ONE vectorized fancy-index store per
+            # batch — BatchPacker's per-record Python lane loop was the
+            # measured wall on 150 bp read sets (~30k iterations/4.6 Mb)
+            shorts, longs = [], []
+            for r in records:
+                if len(r) < p.k:
+                    continue
+                if isinstance(r, str):
+                    raw = np.frombuffer(r.encode(), dtype=np.uint8)
+                    r = (raw >> 1) & np.uint8(3)
+                (shorts if len(r) <= packer.l_buf else longs).append(r)
+
+            def batches():
+                B, l_buf = self.batch, packer.l_buf
+                if shorts:
+                    slens = np.array([len(r) for r in shorts],
+                                     dtype=np.int64)
+                    flat = np.concatenate(shorts)
+                    starts = np.zeros(len(shorts) + 1, dtype=np.int64)
+                    np.cumsum(slens, out=starts[1:])
+                    for g0 in range(0, len(shorts), B):
+                        g1 = min(g0 + B, len(shorts))
+                        lg = slens[g0:g1]
+                        codes = np.zeros((B, l_buf), dtype=np.uint8)
+                        lane = np.repeat(
+                            np.arange(g1 - g0, dtype=np.int64), lg)
+                        within = (np.arange(int(lg.sum()),
+                                            dtype=np.int64)
+                                  - np.repeat(starts[g0:g1]
+                                              - starts[g0], lg))
+                        codes.reshape(-1)[lane * l_buf + within] = \
+                            flat[starts[g0]:starts[g1]]
+                        ve = np.zeros(B, dtype=np.int32)
+                        ve[:g1 - g0] = lg
+                        yield fasta.Batch(codes, np.ones(B, dtype=bool),
+                                          ve, int((lg - p.k + 1).sum()))
+                if longs:
+                    yield from packer.pack(iter(longs))
+
+            records = batches()
+            self._insert_stream_batches(packer, records)
+            return
         records = iter(records)
+        self._insert_stream_batches(packer, packer.pack(records))
+
+    def _insert_stream_batches(self, packer, batch_iter) -> None:
+        """Flush an iterator of fasta.Batch through the streaming
+        program (shared by the generic BatchPacker path and the
+        vectorized short-read builder)."""
+        p = self.params
         S, B = self.stack, self.batch
         row_cap = packer.l_new  # full width: segmentation cannot overflow
         carry = enum_ops.zero_carry(B)
@@ -381,7 +443,7 @@ class Brisk:
             self._dirty = True
             self._expanded = None
 
-        for bt in packer.pack(records):
+        for bt in batch_iter:
             pending.append(bt)
             if len(pending) == S:
                 flush(pending)
