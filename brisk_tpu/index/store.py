@@ -87,10 +87,12 @@ def _deposit(limbs, word, bitpos: int):
     return out
 
 
-def make_keys(bucket: jnp.ndarray, key_limbs: jnp.ndarray,
-              mini_idx: jnp.ndarray, k: int, b: int) -> jnp.ndarray:
-    """Pack (bucket, hashed-kmer limbs (4, N) little-endian, mini_idx)
-    into (W, N) big-endian-ordered sort-key words."""
+def make_key_words(bucket: jnp.ndarray, key_limbs,
+                   mini_idx: jnp.ndarray, k: int, b: int) -> list:
+    """make_keys without the final stack: big-endian LIST of W word
+    arrays (key_limbs may be a (4, N) array or a 4-tuple). The list form
+    is Pallas-kernel-friendly — kernels write words to output refs
+    directly instead of materializing a stacked array."""
     W = key_words(k, b)
     zeros = jnp.zeros_like(bucket)
     words = [zeros] * W  # little-endian while building
@@ -99,7 +101,14 @@ def make_keys(bucket: jnp.ndarray, key_limbs: jnp.ndarray,
         if 32 * j < 2 * k:
             words = _deposit(words, key_limbs[j], 8 + 32 * j)
     words = _deposit(words, bucket, 8 + 2 * k)
-    return jnp.stack(words[::-1])
+    return words[::-1]
+
+
+def make_keys(bucket: jnp.ndarray, key_limbs: jnp.ndarray,
+              mini_idx: jnp.ndarray, k: int, b: int) -> jnp.ndarray:
+    """Pack (bucket, hashed-kmer limbs (4, N) little-endian, mini_idx)
+    into (W, N) big-endian-ordered sort-key words."""
+    return jnp.stack(make_key_words(bucket, key_limbs, mini_idx, k, b))
 
 
 def bucket_of(rows: jnp.ndarray, k: int, b: int) -> jnp.ndarray:
