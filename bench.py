@@ -159,6 +159,51 @@ def e2e_bench():
     return out
 
 
+def pallas_expand_bench():
+    """Finalize span-expansion stage: Pallas J-major kernel vs the lax
+    row-major expansion it replaced (VERDICT r4 item 2), at the 50 Mb
+    span shape (8.4M rows). Timed with an in-program fori_loop + scalar
+    readback — block_until_ready returns early on the tunneled runtime."""
+    from brisk_tpu.index import sklstore
+    k, m, b = 31, 11, 8
+    cs, s_max, _, nw = sklstore.skl_dims(k, m, b)
+    R = 1 << 23
+    rng = np.random.default_rng(11)
+    sb = jnp.asarray(rng.integers(0, 1 << (2 * b), R, dtype=np.uint32))
+    size = rng.integers(1, s_max + 1, R, dtype=np.uint32)
+    mini = (size - 1) + rng.integers(0, cs - s_max + 1, R,
+                                     dtype=np.uint32) + 3
+    sm = jnp.asarray(((size & 0xFF) | ((mini & 0xFF) << 8))
+                     .astype(np.uint32))
+    sn = jnp.asarray(rng.integers(0, 1 << 32, (nw, R), dtype=np.uint32))
+    N = 5
+
+    def timed(body_fn):
+        def prog(seed, sb, sm, sn):
+            def body(i, acc):
+                return acc + body_fn(sb ^ (seed + i.astype(jnp.uint32)),
+                                     sm, sn)
+            return jax.lax.fori_loop(0, N, body, jnp.uint32(0))
+        jprog = jax.jit(prog)
+        float(jprog(jnp.uint32(0), sb, sm, sn))  # compile + load
+        t0 = time.time()
+        float(jprog(jnp.uint32(9), sb, sm, sn))
+        return (time.time() - t0) / N
+
+    t_base = timed(lambda sb, sm, sn: sb[0])
+    t_lax = timed(lambda sb, sm, sn: sklstore._expand_span(
+        sb, sm, sn, k, m, b, s_max)[0][0].sum(dtype=jnp.uint32))
+    t_pal = timed(lambda sb, sm, sn: sklstore._expand_span_jmajor_pallas(
+        sb, sm, sn, k, m, b, s_max)[0].sum(dtype=jnp.uint32))
+    return dict(
+        pallas_expand_rows=R,
+        pallas_expand_ms=round((t_pal - t_base) * 1e3, 1),
+        lax_expand_ms=round((t_lax - t_base) * 1e3, 1),
+        pallas_expand_speedup=round((t_lax - t_base)
+                                    / max(t_pal - t_base, 1e-9), 1),
+    )
+
+
 def k63_e2e_bench():
     """k=63 m=21 b=14 e2e on 4.6 Mb (the reference's own debug config,
     counter.cpp:32 / debug.sh; CPU baseline 0.27 M/s)."""
@@ -291,6 +336,7 @@ def main():
         "vs_baseline": round(value / DEV_REF_KMERS_PER_S, 2),
     })
     rec.update(run_stage(rec, "e2e", e2e_bench))
+    rec.update(run_stage(rec, "pallas_expand", pallas_expand_bench))
     rec.update(run_stage(rec, "k63", k63_e2e_bench))
     rec.update(run_stage(rec, "k63_short", k63_short_read_bench))
     rec.update(run_stage(rec, "scale500", scale_500mb_bench))
