@@ -613,21 +613,30 @@ def _shape_family(n: int, floor: int = 1 << 12) -> int:
     return p2
 
 
-def _chunk_width(S2: int) -> int:
-    """Largest power-of-two chunk width <= 2^18 that divides S2 (S2 is
+def _chunk_width(S2: int, cap: int = 1 << 18) -> int:
+    """Largest power-of-two chunk width <= cap that divides S2 (S2 is
     family-shaped = 2^q or 3*2^(q-1), so the largest 2-power divisor is
     S2 & -S2)."""
-    return min(1 << 18, S2 & -S2, S2)
+    return min(cap, S2 & -S2, S2)
 
 
-def _consolidate_chunked(keys, tag_template, cnt, S2: int):
+def _consolidate_chunked(keys, tag_template, cnt, S2: int,
+                         cw_cap: int = 1 << 18):
     """Chunked consolidation: per-chunk key sort, run totals, back-sort
     by position tag. keys (W, S2); cnt (S2,) per-slot counts (0 on dead
     slots) or None (fresh span: every live slot counts 1, derived from
     key != INVALID — drops one sort operand). Returns (S2,) totals in
-    the ORIGINAL slot order (dead slots 0)."""
+    the ORIGINAL slot order (dead slots 0).
+
+    cw_cap bounds the chunk width: the TPU sort cost per slot grows
+    ~log^2(CW), measured 377/271/191/132 ms per 67M slots at CW
+    2^18/2^16/2^14/2^12 — while merge QUALITY (duplicates in one chunk
+    land adjacent and consolidate onto one slot) only needs CW to cover
+    a bucket group. Duplicates split across chunks keep split counts —
+    exact under the readers' sum semantics; only dead-row dropping
+    (consolidate_all) wants maximal merging."""
     W = keys.shape[0]
-    CW = _chunk_width(S2)
+    CW = _chunk_width(S2, cw_cap)
     C = S2 // CW
     k2 = tuple(keys[i].reshape(C, CW) for i in range(W))
     tag = jnp.broadcast_to(jnp.arange(CW, dtype=U32)[None, :], (C, CW))
@@ -880,7 +889,10 @@ def _finalize_span_fused(bucket, meta, nucs, data, offs, f, n_rows,
         totals = _consolidate_chunked(keys, None, scnt, S2)
     else:
         keys_jm = _expand_span_jmajor(sb, sm, sn, k, m, b, s_max)
-        totals_jm = _consolidate_chunked(keys_jm, None, None, S2)
+        # fresh spans: small chunks (3x cheaper sort); within-span merge
+        # quality is structurally irrelevant here (no dead-row drop)
+        totals_jm = _consolidate_chunked(keys_jm, None, None, S2,
+                                         cw_cap=1 << 12)
         tj = totals_jm.reshape(s_max, R_pad)
         totals = _interleave_cols(tuple(tj[j] for j in range(s_max)),
                                   R_pad, s_max)
