@@ -1145,8 +1145,11 @@ def probe(state: SklState, packed_cols: np.ndarray, bucket_id: int,
     bucket: expand just that bucket's rows (across all segments) and sum
     counts of matching slots (the reference's find_kmer bounded scan,
     buckets.hpp:499-519, recast as a tiny dense expand+compare).
-    Duplicate slots beyond the first hold zero counts, so summing across
-    segments is exact. Returns (found (Q,) bool, counts (Q,) u32)."""
+    INVARIANT (every reader relies on it): the totals of a key's
+    matching slots PARTITION its true count — consolidation merges
+    duplicates that share a chunk (later copies zeroed) and leaves
+    split partial counts across chunks/segments/J-planes — so summing
+    is exact. Returns (found (Q,) bool, counts (Q,) u32)."""
     cs, s_max, _, nw = skl_dims(k, m, b)
     ranges = bucket_slice(state, bucket_id, segments, bucket_col)
     Q = packed_cols.shape[1]
